@@ -1,0 +1,241 @@
+"""Single typed configuration tree for the whole engine.
+
+Replaces the reference's two-level rosparam system (config/params.yaml under
+`radar_slam/` read by ParamServer, utility_radar.h:138-204, plus per-nodelet
+<param> tags in radar_graph_slam.launch:44-195). Defaults below reproduce the
+launch-file defaults verbatim so an NTU4DRadLM run is config-compatible.
+
+Everything is a frozen dataclass of python scalars — configs are static
+(hashable) and can be closed over by jitted functions without retracing
+hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    # distance filter (launch:52-56)
+    use_distance_filter: bool = True
+    distance_near_thresh: float = 2.0
+    distance_far_thresh: float = 100.0
+    z_low_thresh: float = -100.0
+    z_high_thresh: float = 100.0
+    # downsample (launch:57-59): NONE | VOXELGRID
+    downsample_method: str = "VOXELGRID"
+    downsample_resolution: float = 0.1
+    # outlier removal (launch:60-67): NONE | RADIUS | STATISTICAL
+    outlier_removal_method: str = "RADIUS"
+    radius_radius: float = 0.5
+    radius_min_neighbors: int = 1
+    statistical_mean_k: int = 30
+    statistical_stddev: float = 1.2
+    # power filter (launch:69)
+    power_threshold: float = 0.0
+    enable_dynamic_object_removal: bool = True
+    # static capacities (TPU): raw scan and filtered scan
+    raw_capacity: int = 2048
+    filtered_capacity: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class ReveConfig:
+    """Radar ego velocity estimator (reference radar_ego_velocity_estimator.h:30-60)."""
+
+    min_dist: float = 0.1
+    max_dist: float = 400.0
+    min_db: float = 5.0
+    elevation_thresh_deg: float = 60.0
+    azimuth_thresh_deg: float = 120.0
+    doppler_velocity_correction_factor: float = 1.0
+    thresh_zero_velocity: float = 0.05
+    allowed_outlier_percentage: float = 0.30
+    sigma_zero_velocity_x: float = 1.0e-3
+    sigma_zero_velocity_y: float = 3.2e-3
+    sigma_zero_velocity_z: float = 1.0e-2
+    sigma_offset_radar_x: float = 0.0
+    sigma_offset_radar_y: float = 0.0
+    sigma_offset_radar_z: float = 0.0
+    max_sigma_x: float = 0.2
+    max_sigma_y: float = 0.2
+    max_sigma_z: float = 0.2
+    use_ransac: bool = True
+    outlier_prob: float = 0.05
+    success_prob: float = 0.995
+    n_ransac_points: int = 5
+    inlier_thresh: float = 0.5
+
+    @property
+    def ransac_iter(self) -> int:
+        # reference radar_ego_velocity_estimator.h:138-143
+        return int(
+            math.log(1.0 - self.success_prob)
+            / math.log(1.0 - (1.0 - self.outlier_prob) ** self.n_ransac_points)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """APDGICP / GICP registration (launch:92-107, fast_apdgicp defaults)."""
+
+    method: str = "FAST_APDGICP"  # FAST_APDGICP | FAST_GICP | VGICP (voxel)
+    k_correspondences: int = 20  # fast_apdgicp_impl.hpp:21
+    max_correspondence_distance: float = 2.0  # launch:99
+    # adaptive probability-distribution covariance params (launch:34-36)
+    dist_var: float = 0.86
+    azimuth_var: float = 1.0  # degrees
+    elevation_var: float = 1.0  # degrees
+    # LM loop (lsq_registration_impl.hpp:12-23; launch reg_maximum_iterations=64)
+    max_iterations: int = 64
+    lm_max_iterations: int = 10
+    lm_init_lambda_factor: float = 1e-9
+    rotation_epsilon: float = 2e-3
+    transformation_epsilon: float = 5e-4
+    regularization: str = "PLANE"  # PLANE | NONE | MIN_EIG | NORMALIZED_MIN_EIG | FROBENIUS
+    # voxelized (VGICP) option
+    voxel_resolution: float = 1.0
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Front-end scan matching odometry (launch:81-115)."""
+
+    keyframe_delta_trans: float = 0.5
+    keyframe_delta_angle: float = 0.17
+    keyframe_min_size: int = 100
+    enable_transform_thresholding: bool = True
+    max_acceptable_trans: float = 1.0
+    max_acceptable_angle_deg: float = 3.0
+    max_diff_trans: float = 0.3
+    max_diff_angle: float = 0.8
+    max_egovel_cum: float = 1.0
+    enable_scan_to_map: bool = False
+    max_submap_frames: int = 5
+    use_ego_vel: bool = False  # enable_frontend_ego_vel
+
+
+@dataclasses.dataclass(frozen=True)
+class FloorConfig:
+    """Floor detection (launch:188-196, floor_detection_nodelet.cpp)."""
+
+    tilt_deg: float = 0.0
+    sensor_height: float = 2.0
+    height_clip_range: float = 1.0
+    floor_pts_thresh: int = 50
+    use_normal_filtering: bool = True
+    normal_filter_thresh_deg: float = 20.0
+    ransac_iterations: int = 128
+    ransac_distance_thresh: float = 0.06  # floor_detection_nodelet.cpp:183
+    floor_normal_thresh_deg: float = 10.0  # verticality check
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise and extrinsics (params.yaml:24-48)."""
+
+    acc_noise: float = 0.0022281160035059417
+    gyr_noise: float = 0.00011667951042710442
+    acc_bias_noise: float = 0.00011782392708033614
+    gyr_bias_noise: float = 2.616129872371749e-06
+    gravity: float = 9.80511
+    # imu->radar extrinsic rotation (row-major) and translation
+    ext_rot: tuple = (
+        0.999735807578, -0.02148120581797, -0.00826995351904,
+        -0.0215215701795, -0.9997581134183, -0.0048509797951,
+        -0.0081643477385, 0.00502853428037, -0.99995400578406,
+    )
+    ext_trans: tuple = (0.3176955976234, 0.13761019052125, -0.05898352725152)
+    # preintegration buffer capacity (IMU samples between radar frames;
+    # 400 Hz IMU / 10 Hz radar ~ 40, with margin)
+    preint_capacity: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Sliding-window graph optimization (launch:119-183,
+    radar_graph_slam_nodelet.cpp:380-472)."""
+
+    window_size: int = 6  # nodelet:380-387
+    inertial_weight: float = 0.001
+    solver_iterations: int = 512  # g2o_solver_num_iterations (we converge earlier)
+    max_solver_iterations: int = 64  # our LM cap per window (converges far sooner)
+    fix_first_node: bool = True
+    # information matrix calculator (launch:171-179)
+    use_const_inf_matrix: bool = False
+    const_stddev_x: float = 0.5
+    const_stddev_q: float = 0.1
+    var_gain_a: float = 20.0
+    min_stddev_x: float = 0.1
+    max_stddev_x: float = 5.0
+    min_stddev_q: float = 0.05
+    max_stddev_q: float = 0.2
+    fitness_score_max_range: float = float("inf")
+    # robust kernels (launch:160-170)
+    odometry_edge_robust_kernel: str = "NONE"
+    odometry_edge_robust_kernel_size: float = 1.0
+    integ_edge_robust_kernel: str = "Huber"
+    integ_edge_robust_kernel_size: float = 1.0
+    floor_edge_robust_kernel: str = "Huber"
+    floor_edge_robust_kernel_size: float = 1.0
+    scan_match_prior_robust_kernel: str = "Huber"  # nodelet:423-425 Huber 0.5
+    scan_match_prior_robust_kernel_size: float = 0.5
+    # failure detection (nodelet:1351-1371)
+    max_velocity: float = 100.0
+    max_bias: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (launch:134-156; loop_detector.cpp). Activated here,
+    unlike the reference where the driving timer is commented out."""
+
+    enable: bool = True
+    distance_thresh: float = 10.0
+    accum_distance_thresh: float = 50.0
+    min_loop_interval_dist: float = 10.0
+    distance_from_last_edge_thresh: float = 10.0
+    max_baro_difference: float = 2.0
+    max_yaw_difference_deg: float = 20.0
+    sc_dist_thresh: float = 0.5
+    sc_azimuth_range_deg: float = 56.5
+    history_fitness_score: float = 6.0
+    odom_check_trans_thresh: float = 0.3
+    odom_check_rot_thresh: float = 0.05
+    pairwise_check_trans_thresh: float = 1.5
+    pairwise_check_rot_thresh: float = 0.2
+    # scan context shape (Scancontext.h:110-125, limited-FoV variant)
+    num_ring: int = 20
+    num_sector: int = 40
+    max_radius: float = 80.0
+    num_exclude_recent: int = 30
+    num_candidates: int = 10
+    loop_capacity: int = 32  # max simultaneous loop factors in the global solve
+    keyframe_capacity: int = 2048  # max keyframes in the loop graph
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Device-mesh layout for multi-chip runs (new capability, BASELINE.json #5)."""
+
+    data_axis: str = "data"  # batch of sequences / frame pairs
+    model_axis: str = "model"  # intra-problem sharding (points / keyframe blocks)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    preprocess: PreprocessConfig = PreprocessConfig()
+    reve: ReveConfig = ReveConfig()
+    registration: RegistrationConfig = RegistrationConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    floor: FloorConfig = FloorConfig()
+    imu: ImuConfig = ImuConfig()
+    backend: BackendConfig = BackendConfig()
+    loop: LoopConfig = LoopConfig()
+    dist: DistConfig = DistConfig()
+
+
+DEFAULT = EngineConfig()
