@@ -93,7 +93,9 @@ class RegistrationConfig:
     lm_max_iterations: int = 10
     lm_init_lambda_factor: float = 1e-9
     rotation_epsilon: float = 2e-3
-    transformation_epsilon: float = 5e-4
+    # launch reg_transformation_epsilon=0.1 overrides the 5e-4 ctor default
+    # through pcl::Registration::setTransformationEpsilon (lsq_registration.hpp:42)
+    transformation_epsilon: float = 0.1
     regularization: str = "PLANE"  # PLANE | NONE | MIN_EIG | NORMALIZED_MIN_EIG | FROBENIUS
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0

@@ -42,27 +42,30 @@ def vee(m: jax.Array) -> jax.Array:
 
 
 def _sin_x_over_x(x2: jax.Array) -> jax.Array:
-    """sin(sqrt(x2))/sqrt(x2), Taylor near 0. x2 = theta^2."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
+    """sin(sqrt(x2))/sqrt(x2), Taylor near 0. x2 = theta^2.
+
+    sqrt argument is made safe BEFORE sqrt so autodiff through the unselected
+    branch never sees d(sqrt)/dx at 0 (the where-NaN trap).
+    """
     small = x2 < _EPS
-    safe = jnp.where(small, 1.0, x)
-    return jnp.where(small, 1.0 - x2 / 6.0, jnp.sin(safe) / safe)
+    x = jnp.sqrt(jnp.where(small, 1.0, x2))
+    return jnp.where(small, 1.0 - x2 / 6.0, jnp.sin(x) / x)
 
 
 def _one_minus_cos_over_x2(x2: jax.Array) -> jax.Array:
     """(1-cos(theta))/theta^2 with Taylor near 0."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < _EPS
     safe2 = jnp.where(small, 1.0, x2)
+    x = jnp.sqrt(safe2)
     return jnp.where(small, 0.5 - x2 / 24.0, (1.0 - jnp.cos(x)) / safe2)
 
 
 def _x_minus_sin_over_x3(x2: jax.Array) -> jax.Array:
     """(theta-sin(theta))/theta^3 with Taylor near 0."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < _EPS
-    safe3 = jnp.where(small, 1.0, x2 * x)
-    return jnp.where(small, 1.0 / 6.0 - x2 / 120.0, (x - jnp.sin(x)) / safe3)
+    safe2 = jnp.where(small, 1.0, x2)
+    x = jnp.sqrt(safe2)
+    return jnp.where(small, 1.0 / 6.0 - x2 / 120.0, (x - jnp.sin(x)) / (safe2 * x))
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
@@ -130,16 +133,15 @@ def so3_right_jacobian_inv(w: jax.Array) -> jax.Array:
     (g2o/edge_se3_interial.hpp:104-118).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     small = theta2 < _EPS
-    safe_t = jnp.where(small, 1.0, theta)
+    safe2 = jnp.where(small, 1.0, theta2)
+    safe_t = jnp.sqrt(safe2)
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        1.0 / jnp.where(small, 1.0, theta2)
-        - (1.0 + jnp.cos(safe_t)) / (2.0 * safe_t * jnp.sin(safe_t) + jnp.where(small, 1.0, 0.0)),
+        1.0 / safe2 - (1.0 + jnp.cos(safe_t)) / (2.0 * safe_t * jnp.sin(safe_t)),
     )
     return eye + 0.5 * W + coef[..., None, None] * (W @ W)
 
