@@ -1,0 +1,66 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import OdometryConfig, RegistrationConfig
+from rivslam_tpu.frontend import apdgicp, odometry
+from rivslam_tpu.io import synthetic
+
+REG = RegistrationConfig(transformation_epsilon=5e-4)
+ODO = OdometryConfig(use_ego_vel=True)
+
+
+def run_sequence(n_frames=10, capacity=768):
+    rng = np.random.default_rng(7)
+    world = synthetic.make_world(rng, n_points=8000)
+    times, poses, vels = synthetic.circular_trajectory(n_frames, dt=0.25)
+    clouds = [
+        synthetic.observe(
+            world, poses[i], rng, capacity=capacity, noise=0.01,
+            sensor_vel_world=vels[i], dtype=jnp.float64,
+        )
+        for i in range(n_frames)
+    ]
+    prepared = [apdgicp.estimate_covariances(c.xyz, c.mask, REG) for c in clouds]
+    ego = [jnp.asarray(poses[i][:3, :3].T @ vels[i]) for i in range(n_frames)]
+
+    step = jax.jit(
+        lambda s, cl, v, t: odometry.step(s, cl, v, t, ODO, REG)
+    )
+    state = odometry.init_state(prepared[0], times[0], dtype=jnp.float64)
+    outs = []
+    for i in range(1, n_frames):
+        state, out = step(state, prepared[i], ego[i], times[i])
+        outs.append(out)
+    return times, poses, outs
+
+
+def test_odometry_tracks_trajectory():
+    times, poses, outs = run_sequence()
+    # odometry pose i is relative to the first frame
+    T0 = poses[0]
+    for i, out in enumerate(outs, start=1):
+        gt_rel = np.linalg.inv(T0) @ poses[i]
+        est = np.asarray(out.odom)
+        delta = np.linalg.inv(est) @ gt_rel
+        dt_err = np.linalg.norm(delta[:3, 3])
+        dr_err = float(lie.rotation_angle(jnp.asarray(delta[:3, :3]))) * 180 / np.pi
+        assert dt_err < 0.5, f"frame {i}: drift {dt_err:.3f} m"
+        assert dr_err < 3.0, f"frame {i}: rot drift {dr_err:.2f} deg"
+
+
+def test_keyframes_created():
+    times, poses, outs = run_sequence()
+    kf = [bool(o.is_keyframe) for o in outs]
+    # the trajectory moves ~0.75 m/frame with 0.5 m keyframe gate -> several
+    assert sum(kf) >= len(outs) // 2
+
+
+def test_incremental_odometry_consistency():
+    times, poses, outs = run_sequence(n_frames=6)
+    # trans_delta composes to odom
+    acc = np.asarray(outs[0].odom)
+    for out in outs[1:]:
+        acc = acc @ np.asarray(out.trans_delta)
+        np.testing.assert_allclose(acc, np.asarray(out.odom), atol=1e-8)
