@@ -79,18 +79,24 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix -> axis-angle 3-vector; robust near 0 and pi. Batched."""
+    """Rotation matrix -> axis-angle 3-vector; robust near 0 and pi. Batched.
+
+    Autodiff-safe at the identity: theta comes from atan2(|skew|, cos) and
+    the Taylor branch never touches sqrt(0), so Jacobians of residuals like
+    log(R_meas^T R) are finite when the residual is exactly zero (the common
+    case at a converged factor graph).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # Generic branch: vee((R - R^T)/2) * theta/sin(theta)
     w_skew = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))
-    sin_theta = jnp.sin(theta)
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)  # sin^2(theta)
     near_pi = cos_theta < -1.0 + 1e-11
-    small = theta < 1e-4
-    # theta/sin(theta) with Taylor near 0
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    small = s2 < 1e-12
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))  # safe sqrt
+    theta = jnp.arctan2(s, cos_theta)
+    # theta/sin(theta): Taylor (in sin^2) near 0, exact elsewhere
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / s)
     w_generic = w_skew * scale[..., None]
     # Near pi: R ~ I + 2 ww^T/theta^2... use diagonal formulation.
     # (R + I)/2 = ww^T/theta^2 * (1-cos)/... ; axis from largest diagonal of R+I.

@@ -73,25 +73,38 @@ def transform_plane(R, p, plane_w: jax.Array) -> jax.Array:
     return jnp.concatenate([n_s, (d + jnp.dot(n, p))[None]])
 
 
-def plane_minimal(plane: jax.Array) -> jax.Array:
-    """g2o Plane3D minimal coords (azimuth, elevation, distance)."""
-    n = plane[:3]
-    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
-    az = jnp.arctan2(n[1], n[0])
-    el = jnp.arctan2(n[2], jnp.linalg.norm(n[:2]))
-    return jnp.stack([az, el, plane[3]])
+def _tangent_basis(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Smooth orthonormal basis of the plane orthogonal to unit n (Frisvad
+    construction; smooth for n_z > -1, which holds for +z-pointing floor
+    normals)."""
+    nx, ny, nz = n[0], n[1], n[2]
+    a = -1.0 / (1.0 + jnp.maximum(nz, -1.0 + 1e-6))
+    b = nx * ny * a
+    t1 = jnp.stack([1.0 + nx * nx * a, b, -nx])
+    t2 = jnp.stack([b, 1.0 + ny * ny * a, -ny])
+    return t1, t2
 
 
 def se3_plane(R, p, plane_node_w: jax.Array, plane_meas_s: jax.Array) -> jax.Array:
     """EdgeSE3Plane (edge_se3_plane.hpp:41-48): transform the (fixed) world
-    plane node into the pose frame, compare to the measured local plane in
-    Plane3D minimal coordinates (ominus)."""
+    plane node into the pose frame, compare against the measured local plane
+    as a minimal 3-dim difference (normal deviation in the measured plane's
+    tangent basis + signed distance).
+
+    Divergence from the reference, by design: g2o's Plane3D ominus uses
+    (azimuth, elevation) angles, whose derivative is singular exactly at
+    vertical normals — the dominant floor case — which g2o survives only
+    because EdgeSE3Plane falls back to numeric differentiation. The tangent-
+    basis parameterization is first-order equivalent (up to an orthogonal
+    reparam the isotropic information is invariant to) and smooth.
+    """
     local = transform_plane(R, p, plane_node_w)
-    e = plane_minimal(local) - plane_minimal(plane_meas_s)
-    # wrap angle differences
-    e = e.at[0].set(jnp.arctan2(jnp.sin(e[0]), jnp.cos(e[0])))
-    e = e.at[1].set(jnp.arctan2(jnp.sin(e[1]), jnp.cos(e[1])))
-    return e
+    n_est = local[:3] / jnp.maximum(jnp.linalg.norm(local[:3]), 1e-12)
+    n_meas = plane_meas_s[:3] / jnp.maximum(jnp.linalg.norm(plane_meas_s[:3]), 1e-12)
+    t1, t2 = _tangent_basis(n_meas)
+    return jnp.stack(
+        [jnp.dot(t1, n_est), jnp.dot(t2, n_est), local[3] - plane_meas_s[3]]
+    )
 
 
 def prior_xy(p, xy_meas) -> jax.Array:

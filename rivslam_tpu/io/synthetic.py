@@ -89,6 +89,39 @@ def observe(
     return RadarCloud.from_numpy(pts, capacity, doppler=dop, intensity=intensity, dtype=dtype)
 
 
+def circular_imu_samples(
+    t0: float,
+    t1: float,
+    rate: float = 200.0,
+    radius: float = 15.0,
+    omega: float = 0.2,
+    gravity: float = 9.80511,
+    rng: np.random.Generator | None = None,
+    gyro_noise: float = 0.0,
+    acc_noise: float = 0.0,
+):
+    """Analytic IMU samples along the circular trajectory between two frame
+    times. Returns (dts [K], acc [K,3] specific force, gyr [K,3])."""
+    n = max(int(round((t1 - t0) * rate)), 1)
+    ts = t0 + (np.arange(n) + 1) / rate
+    dts = np.full(n, 1.0 / rate)
+    G = np.array([0.0, 0.0, gravity])
+    accs = np.zeros((n, 3))
+    gyrs = np.tile(np.array([0.0, 0.0, omega]), (n, 1))
+    for i, tt in enumerate(ts):
+        a = omega * tt
+        a_w = np.array(
+            [-radius * omega**2 * np.cos(a), -radius * omega**2 * np.sin(a), 0.0]
+        )
+        yaw = a + np.pi / 2
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, yaw], dtype=jnp.float64)))
+        accs[i] = R.T @ (a_w + G)
+    if rng is not None:
+        accs += rng.normal(size=accs.shape) * acc_noise
+        gyrs += rng.normal(size=gyrs.shape) * gyro_noise
+    return dts, accs, gyrs
+
+
 def circular_trajectory(n_frames: int, radius: float = 15.0, height: float = 2.0, dt: float = 0.1):
     """Known trajectory: constant-speed circle with heading tangent to it.
 

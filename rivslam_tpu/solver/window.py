@@ -235,7 +235,7 @@ def solve_window(
             inner_cond, inner_body, (x, lam, jnp.asarray(2.0, dtype), 0, jnp.asarray(False), jnp.asarray(False))
         )
         y_new = chi2_of(x_i, kw)
-        converged = success & (jnp.abs(y0 - y_new) < 1e-9 * jnp.maximum(y0, 1.0))
+        converged = success & (jnp.abs(y0 - y_new) < 1e-6 * jnp.maximum(y0, 1.0))
         return (x_i, lam_i, it + 1, converged | (~success))
 
     x_fin, lam, iters, _ = jax.lax.while_loop(
