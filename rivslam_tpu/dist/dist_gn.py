@@ -1,0 +1,101 @@
+"""Distributed registration and batched solves over a device mesh.
+
+The reference's parallelism is OpenMP point loops + a 4-nodelet pipeline on
+one machine (SURVEY.md §2.5). Here the same math scales over TPU chips:
+
+- `batched_register`: DATA parallelism — independent frame pairs sharded on
+  the leading axis; XLA partitions the whole LM solve per device with zero
+  communication.
+- `sharded_register`: MODEL parallelism — ONE registration problem with its
+  source points sharded over the `model` axis; correspondences are computed
+  locally against the replicated target and the 6x6 H / 6x1 b / error
+  partials are psum'd over ICI each LM iteration (the OpenMP
+  reduction(+:...) re-expressed as a collective).
+- `batched_window_solve`: DATA-parallel sliding-window optimizations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rivslam_tpu.core.config import BackendConfig, RegistrationConfig
+from rivslam_tpu.frontend import apdgicp
+from rivslam_tpu.solver import window as win
+
+
+def batched_register(
+    sources: apdgicp.PreparedCloud,
+    targets: apdgicp.PreparedCloud,
+    guesses: jax.Array,
+    cfg: RegistrationConfig,
+    mesh: Mesh,
+):
+    """Register B independent frame pairs, B sharded over the `data` axis."""
+    dsh = NamedSharding(mesh, P("data"))
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, dsh), t)
+    sources, targets, guesses = put(sources), put(targets), put(guesses)
+
+    @jax.jit
+    def run(s, t, g):
+        return jax.vmap(lambda a, b, c: apdgicp.register(a, b, c, cfg))(s, t, g)
+
+    return run(sources, targets, guesses)
+
+
+def sharded_register(
+    source: apdgicp.PreparedCloud,
+    target: apdgicp.PreparedCloud,
+    guess: jax.Array,
+    cfg: RegistrationConfig,
+    mesh: Mesh,
+    axis: str = "model",
+):
+    """One registration, source points sharded over `axis`; H/b via psum.
+
+    Point count must be divisible by the axis size.
+    """
+    spec_src = apdgicp.PreparedCloud(
+        xyz=P(axis, None), mask=P(axis), cov=P(axis, None, None)
+    )
+    spec_tgt = apdgicp.PreparedCloud(xyz=P(), mask=P(), cov=P())
+    out_spec = jax.tree.map(
+        lambda _: P(), apdgicp.RegistrationResult(
+            T=0, H=0, error=0, converged=0, iterations=0, num_correspondences=0, fitness=0
+        )
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec_src, spec_tgt, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def run(s, t, g):
+        return apdgicp.register(s, t, g, cfg, axis_name=axis)
+
+    return run(source, target, guess)
+
+
+def batched_window_solve(
+    states: win.WindowState,
+    factors: win.WindowFactors,
+    cfg: BackendConfig,
+    bias_info: tuple[float, float],
+    mesh: Mesh,
+):
+    """Solve B independent sliding windows, B sharded over `data`."""
+    dsh = NamedSharding(mesh, P("data"))
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, dsh), t)
+    states, factors = put(states), put(factors)
+
+    @jax.jit
+    def run(x, f):
+        return jax.vmap(lambda a, b: win.solve_window(a, b, cfg, bias_info))(x, f)
+
+    return run(states, factors)

@@ -239,14 +239,23 @@ def register(
     target: PreparedCloud,
     guess: jax.Array,
     cfg: RegistrationConfig,
+    axis_name: str | None = None,
 ) -> RegistrationResult:
     """LM-iterated APDGICP alignment of source onto target.
 
     Faithful port of the LsqRegistration LM driver
     (lsq_registration_impl.hpp:55-173) as nested bounded `lax.while_loop`s.
+
+    `axis_name`: when called inside shard_map with SOURCE points sharded over
+    that mesh axis (target replicated), H/b/error partials are psum-combined
+    over ICI — the TPU-native form of the reference's OpenMP H/b reduction
+    (fast_apdgicp_impl.hpp:221-260).
     """
     dtype = source.xyz.dtype
     T0 = guess.astype(dtype)
+
+    def _reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def solve_step(H, b, lam):
         A = H + lam * jnp.eye(6, dtype=dtype)
@@ -261,6 +270,7 @@ def register(
         T, lam, converged, failed, it, Hf, errf = carry
         idx, corr, mah, d2 = _correspondences(T, source, target, cfg)
         H, b, y0 = _linearize(T, source, target, idx, corr, mah)
+        H, b, y0 = _reduce(H), _reduce(b), _reduce(y0)
         lam = jnp.where(
             lam < 0.0, cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diagonal(H))), lam
         )
@@ -275,7 +285,7 @@ def register(
             d = solve_step(H, b, lam_i)
             delta = _se3_from_rt(d)
             T_new = delta @ T
-            yi = _compute_error(T_new, source, target, idx, corr, mah)
+            yi = _reduce(_compute_error(T_new, source, target, idx, corr, mah))
             denom = jnp.dot(d, lam_i * d - b)
             rho = (y0 - yi) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
 
@@ -336,9 +346,10 @@ def register(
 
     # final correspondence stats at the solution
     idx, corr, mah, d2 = _correspondences(T, source, target, cfg)
-    ncorr = jnp.sum(corr)
-    fitness = jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(ncorr, 1)
+    ncorr = _reduce(jnp.sum(corr))
+    fitness = _reduce(jnp.sum(jnp.where(corr, d2, 0.0))) / jnp.maximum(ncorr, 1)
     _, _, final_err = _linearize(T, source, target, idx, corr, mah)
+    final_err = _reduce(final_err)
     return RegistrationResult(
         T=T,
         H=Hf,
