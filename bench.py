@@ -7,24 +7,28 @@ Prints ONE JSON line:
 Protocol: batched full scan-matching steps (covariance estimation + NN
 correspondences + LM to convergence) on synthetic radar-scale clouds
 (N=1024 points — the post-filter density regime of NTU4DRadLM, see
-SURVEY.md §7), vmapped over a batch of independent frame pairs, timed over
-repeated dispatches on one chip.
+SURVEY.md §7). To measure device-resident throughput independent of the
+host/tunnel dispatch latency, ROUNDS successive batched registrations are
+chained inside one jitted `lax.scan` (each round's input is perturbed by the
+previous round's output, forcing true serialization on device), and the
+whole dispatch is timed synchronously.
 
 Baseline: the reference publishes no numbers (BASELINE.md). Its own timing
-instrumentation (scan_matching_odometry_nodelet.cpp:467-471) on a desktop
-CPU with OpenMP FastAPDGICP runs a scan match in ~30 ms at this point count
-(align.cpp-style microbenchmark regime), i.e. ~33 frames/s. vs_baseline is
-measured frames/s divided by that 33 fps estimate; BASELINE.json's target is
->= 10x.
+instrumentation (scan_matching_odometry_nodelet.cpp:467-471) with OpenMP
+FastAPDGICP runs a scan match in ~30 ms at this point count on a desktop
+CPU (align.cpp microbenchmark regime), i.e. ~33 frames/s. vs_baseline is
+measured frames/s over that 33 fps estimate; BASELINE.json targets >= 10x.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 33.0
+BATCH = 32
+ROUNDS = 8
+CAPACITY = 1024
 
 
 def main():
@@ -36,46 +40,50 @@ def main():
     from rivslam_tpu.io import synthetic
 
     cfg = RegistrationConfig()  # launch-file runtime params (eps=0.1 etc.)
-    capacity = 1024
-    batch = 32
 
     rng = np.random.default_rng(0)
     world = synthetic.make_world(rng, n_points=20000)
-    srcs, tgts, guesses = [], [], []
+    srcs, tgts = [], []
     T0 = np.eye(4)
     T0[:3, 3] = [0.0, 0.0, 2.0]
-    for b in range(batch):
+    for _ in range(BATCH):
         T1 = T0.copy()
-        T1[:3, 3] += rng.normal(size=3) * np.array([0.4, 0.4, 0.05])
-        ang = rng.normal() * 0.03
-        c, s = np.cos(ang), np.sin(ang)
-        T1[:2, :2] = T1[:2, :2] @ np.array([[c, -s], [s, c]])
-        tgts.append(synthetic.observe(world, T0, rng, capacity=capacity, noise=0.01))
-        srcs.append(synthetic.observe(world, T1, rng, capacity=capacity, noise=0.01))
-        guesses.append(np.eye(4, dtype=np.float32))
+        # guess-error regime of the real pipeline (const-velocity prior)
+        T1[:3, 3] += rng.normal(size=3) * np.array([0.1, 0.1, 0.02])
+        tgts.append(synthetic.observe(world, T0, rng, capacity=CAPACITY, noise=0.01))
+        srcs.append(synthetic.observe(world, T1, rng, capacity=CAPACITY, noise=0.01))
     stack = lambda clouds, f: jnp.stack([getattr(c, f) for c in clouds])
     src_xyz, src_mask = stack(srcs, "xyz"), stack(srcs, "mask")
     tgt_xyz, tgt_mask = stack(tgts, "xyz"), stack(tgts, "mask")
-    guess = jnp.asarray(np.stack(guesses))
+    guess = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * BATCH)
 
     @jax.jit
-    def step(sx, sm, tx, tm, g):
-        return jax.vmap(
-            lambda a, b, c, d, e: apdgicp.prepare_and_register(a, b, c, d, e, cfg)
-        )(sx, sm, tx, tm, g)
+    def chained(sx, sm, tx, tm, g):
+        def body(carry, _):
+            eps = carry
+            res = jax.vmap(
+                lambda a, b, c, d, e: apdgicp.prepare_and_register(a, b, c, d, e, cfg)
+            )(sx + eps, sm, tx, tm, g)
+            # next round's input depends on this round's output: serialized
+            return jnp.sum(res.error) * 1e-12 + eps + 1e-6, (res.converged, res.T)
 
-    # warmup / compile
-    out = step(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
-    out.T.block_until_ready()
+        eps0 = jnp.asarray(0.0, jnp.float32)
+        _, (conv, Ts) = jax.lax.scan(body, eps0, None, length=ROUNDS)
+        return conv, Ts
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
-    out.T.block_until_ready()
-    dt = time.perf_counter() - t0
+    conv, Ts = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)  # compile
+    jax.block_until_ready((conv, Ts))
 
-    fps = batch * iters / dt
+    times = []
+    for i in range(3):
+        sx = src_xyz + np.float32((i + 1) * 1e-5)
+        t0 = time.perf_counter()
+        conv, Ts = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
+        np.asarray(Ts)  # host fetch — the only reliable completion barrier
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    fps = BATCH * ROUNDS / dt
     print(
         json.dumps(
             {

@@ -210,11 +210,13 @@ class LoopConfig:
     pairwise_check_trans_thresh: float = 1.5
     pairwise_check_rot_thresh: float = 0.2
     # scan context shape (Scancontext.h:110-125, limited-FoV variant)
-    num_ring: int = 20
-    num_sector: int = 40
+    num_ring: int = 40  # PC_NUM_RING (Scancontext.h:113)
+    num_sector: int = 20  # PC_NUM_SECTOR (Scancontext.h:114)
     max_radius: float = 80.0
-    num_exclude_recent: int = 30
-    num_candidates: int = 10
+    lidar_height: float = 1.2  # Scancontext.h:108, added to z before binning
+    search_ratio: float = 0.1  # Scancontext.h:127
+    num_exclude_recent: int = 10  # Scancontext.h:122
+    num_candidates: int = 3  # Scancontext.h:123
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
 
