@@ -77,7 +77,15 @@ def observe(
         vis &= np.abs(az) < np.radians(fov_deg)
     idx = np.where(vis)[0]
     if len(idx) > capacity:
-        idx = rng.choice(idx, capacity, replace=False)
+        # radar detects the strongest reflectors consistently: keep the
+        # top-capacity by (deterministic) world intensity + detection noise,
+        # so repeated observations of a place see mostly the same targets
+        w = world[idx]
+        strength = 10.0 + 20.0 * (
+            0.5 + 0.5 * np.sin(w[:, 0] * 12.9898 + w[:, 1] * 78.233 + w[:, 2] * 37.719)
+        )
+        strength = strength + rng.normal(size=len(idx)) * 1.0
+        idx = idx[np.argsort(-strength)[:capacity]]
     pts = local[idx] + rng.normal(size=(len(idx), 3)) * noise
     if sensor_vel_world is not None:
         v_sensor = R.T @ sensor_vel_world
@@ -85,7 +93,13 @@ def observe(
         dop = dirs @ v_sensor + rng.normal(size=len(idx)) * doppler_noise
     else:
         dop = np.zeros(len(idx))
-    intensity = rng.uniform(10.0, 30.0, size=len(idx))
+    # intensity is a deterministic property of the WORLD point (like real
+    # radar RCS), so scan-context descriptors of the same place correlate
+    w = world[idx]
+    intensity = 10.0 + 20.0 * (
+        0.5 + 0.5 * np.sin(w[:, 0] * 12.9898 + w[:, 1] * 78.233 + w[:, 2] * 37.719)
+    )
+    intensity += rng.normal(size=len(idx)) * 0.5
     return RadarCloud.from_numpy(pts, capacity, doppler=dop, intensity=intensity, dtype=dtype)
 
 

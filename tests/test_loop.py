@@ -1,0 +1,186 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import LoopConfig, RegistrationConfig
+from rivslam_tpu.io import synthetic
+from rivslam_tpu.loop import detector, global_graph, scancontext
+
+CFG = LoopConfig()
+
+
+def make_scan(rng, pose, world, capacity=512):
+    return synthetic.observe(world, pose, rng, capacity=capacity, noise=0.01, dtype=jnp.float64)
+
+
+def test_descriptor_shape_and_binning():
+    cfg = CFG
+    # one point at range 40 straight ahead (azim_angle = atan2(x,y)-90deg with
+    # x forward: point (40, 0) -> azim 0) with intensity 7
+    xyz = jnp.asarray([[40.0, 0.0, 0.0], [10.0, 0.1, 0.0]])
+    inten = jnp.asarray([7.0, 3.0])
+    mask = jnp.ones(2, dtype=bool)
+    d = scancontext.make_descriptor(xyz, inten, mask, cfg)
+    assert d.shape == (cfg.num_ring, cfg.num_sector)
+    ranges = np.linalg.norm(np.asarray(xyz)[:, :2], axis=1)
+    rings = {
+        int(np.ceil(np.float32(r) / cfg.max_radius * cfg.num_ring)) - 1 for r in ranges
+    }
+    nz = np.argwhere(np.asarray(d) > 0)
+    assert set(nz[:, 0]) == rings
+    assert float(d.max()) == 7.0
+
+
+def test_descriptor_max_intensity_binning():
+    cfg = CFG
+    # two points in the same bin: max wins (Scancontext.cpp:201-202)
+    xyz = jnp.asarray([[20.5, 0.0, 0.0], [20.6, 0.0, 0.0]])
+    inten = jnp.asarray([2.0, 9.0])
+    d = scancontext.make_descriptor(xyz, inten, jnp.ones(2, bool), cfg)
+    assert float(d.max()) == 9.0
+    assert (np.asarray(d) > 0).sum() == 1
+
+
+def test_scancontext_match_same_place():
+    rng = np.random.default_rng(3)
+    world = synthetic.make_world(rng, n_points=8000)
+    cfg = CFG
+    db = scancontext.ScanContextDB.create(cfg, dtype=jnp.float64)
+    poses = []
+    # 15 keyframes along a line, then revisit the first place
+    for k in range(15):
+        T = np.eye(4)
+        T[:3, 3] = [k * 3.0, 0, 2.0]
+        poses.append(T)
+    poses.append(poses[0].copy())  # revisit
+    descs = []
+    for T in poses:
+        c = make_scan(rng, T, world)
+        d = scancontext.make_descriptor(c.xyz, c.intensity, c.mask, cfg)
+        descs.append(d)
+        db = scancontext.insert(db, d)
+    cand_mask = jnp.ones(cfg.keyframe_capacity, dtype=bool)
+    idx, yaw, dist = scancontext.match(db, descs[-1], jnp.asarray(15), cand_mask, cfg)
+    assert int(idx) == 0, (int(idx), float(dist))
+    assert float(dist) < CFG.sc_dist_thresh
+
+
+def test_scancontext_rejects_different_place():
+    rng = np.random.default_rng(4)
+    world = synthetic.make_world(rng, n_points=8000)
+    cfg = CFG
+    db = scancontext.ScanContextDB.create(cfg, dtype=jnp.float64)
+    for k in range(14):
+        T = np.eye(4)
+        T[:3, 3] = [k * 8.0, 0, 2.0]
+        c = make_scan(rng, T, world)
+        db = scancontext.insert(db, scancontext.make_descriptor(c.xyz, c.intensity, c.mask, cfg))
+    # query from a far-away novel place
+    Tq = np.eye(4)
+    Tq[:3, 3] = [0, 300.0, 2.0]
+    worldq = synthetic.make_world(np.random.default_rng(99), n_points=8000) + np.array([0, 300.0, 0])
+    cq = make_scan(rng, Tq, worldq)
+    dq = scancontext.make_descriptor(cq.xyz, cq.intensity, cq.mask, cfg)
+    idx, yaw, dist = scancontext.match(db, dq, jnp.asarray(14), jnp.ones(cfg.keyframe_capacity, bool), cfg)
+    assert int(idx) == -1 or float(dist) > 0.3
+
+
+def test_prefilter_gates():
+    cfg = CFG
+    K = 64
+    accum = jnp.arange(K, dtype=jnp.float64) * 2.0  # 2 m per keyframe
+    eye = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+    # a circular path that returns to start: keyframe 60 near keyframe 0
+    p = jnp.zeros((K, 3), dtype=jnp.float64).at[:, 0].set(
+        jnp.asarray(np.where(np.arange(K) < 32, np.arange(K) * 2.0, (63 - np.arange(K)) * 2.0))
+    )
+    mask = jnp.ones(K, dtype=bool)
+    cand = detector.prefilter_candidates(
+        accum, eye, p, mask, jnp.asarray(60), jnp.asarray(0.0), cfg
+    )
+    cand = np.asarray(cand)
+    # keyframes near in space but far in travel distance pass
+    assert cand[3] or cand[2] or cand[4]
+    # recent keyframes fail the accum-distance gate
+    assert not cand[55:].any()
+
+
+def test_global_graph_loop_closure_pulls_drift():
+    """Classic test: odometry chain with accumulated drift + one loop edge
+    closing start-end; optimization removes most of the endpoint error."""
+    dtype = jnp.float64
+    K, L = 64, 8
+    g = global_graph.PoseGraph.create(K, L, dtype=dtype)
+    n = 40
+    rng = np.random.default_rng(0)
+    # ground truth: square-ish loop trajectory returning to origin
+    gt = [np.eye(4)]
+    for k in range(1, n):
+        T = np.eye(4)
+        yaw = 2 * np.pi / n
+        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0, 0, yaw])))
+        T[0, 3] = 1.0
+        gt.append(gt[-1] @ T)
+    gt = np.stack(gt)
+    # odometry measurements: true relatives + small noise (drift accumulates)
+    est = [np.eye(4)]
+    rels = [np.eye(4)]
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        noise = np.asarray(lie.se3_exp(jnp.asarray(rng.normal(size=6) * 0.01)))
+        rel_noisy = rel @ noise
+        rels.append(rel_noisy)
+        est.append(est[-1] @ rel_noisy)
+    est = np.stack(est)
+
+    g = dataclasses.replace(
+        g,
+        R=g.R.at[:n].set(jnp.asarray(est[:, :3, :3])),
+        p=g.p.at[:n].set(jnp.asarray(est[:, :3, 3])),
+        node_mask=g.node_mask.at[:n].set(True),
+        odom_rel_R=g.odom_rel_R.at[:n].set(jnp.asarray(np.stack(rels)[:, :3, :3])),
+        odom_rel_p=g.odom_rel_p.at[:n].set(jnp.asarray(np.stack(rels)[:, :3, 3])),
+        odom_info=g.odom_info.at[:n].set(jnp.eye(6, dtype=dtype) * 100.0),
+    )
+    # loop edge between node 0 and node n-1 with the TRUE relative pose
+    true_rel = np.linalg.inv(gt[0]) @ gt[n - 1]
+    g = dataclasses.replace(
+        g,
+        loop_i=g.loop_i.at[0].set(0),
+        loop_j=g.loop_j.at[0].set(n - 1),
+        loop_rel_R=g.loop_rel_R.at[0].set(jnp.asarray(true_rel[:3, :3])),
+        loop_rel_p=g.loop_rel_p.at[0].set(jnp.asarray(true_rel[:3, 3])),
+        loop_info=g.loop_info.at[0].set(jnp.eye(6, dtype=dtype) * 400.0),
+        loop_mask=g.loop_mask.at[0].set(True),
+    )
+    err_before = np.linalg.norm(
+        est[n - 1][:3, 3] - gt[n - 1][:3, 3]
+    )
+    g_opt, chi2 = jax.jit(lambda x: global_graph.solve_pose_graph(x, gn_iters=8))(g)
+    p_opt = np.asarray(g_opt.p[: n])
+    err_after = np.linalg.norm(p_opt[n - 1] - gt[n - 1][:3, 3])
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    assert np.isfinite(float(chi2))
+    # untouched capacity slots remain identity
+    np.testing.assert_allclose(np.asarray(g_opt.p[n + 1 :]), 0.0, atol=1e-6)
+
+
+def test_odometry_and_pairwise_checks():
+    cfg = CFG
+    dtype = jnp.float64
+    odom_i = jnp.eye(4, dtype=dtype)
+    odom_j = jnp.asarray(np.diag([1.0, 1, 1, 1.0]))
+    odom_j = odom_j.at[:3, 3].set(jnp.asarray([10.0, 0, 0]))
+    # perfect loop: registration j->i equals inverse of odometry delta
+    T_lc = lie.se3_inverse(lie.se3_inverse(odom_j) @ odom_i)
+    ok = detector.odometry_check(lie.se3_inverse(T_lc), odom_i, odom_j, jnp.asarray(10), cfg)
+    # T_err = T_lc_ij * T_odom_ji should be near identity when consistent
+    T_lc_ij = lie.se3_inverse(odom_j) @ odom_i  # consistent correction
+    ok2 = detector.odometry_check(lie.se3_inverse(T_lc_ij), odom_i, odom_j, jnp.asarray(10), cfg)
+    assert bool(ok) or bool(ok2)
+    # grossly inconsistent correction fails
+    bad = jnp.eye(4, dtype=dtype).at[:3, 3].set(jnp.asarray([50.0, 0, 0]))
+    assert not bool(detector.odometry_check(bad, odom_i, odom_j, jnp.asarray(10), cfg))
