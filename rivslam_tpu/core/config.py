@@ -36,6 +36,8 @@ class PreprocessConfig:
     # power filter (launch:69)
     power_threshold: float = 0.0
     enable_dynamic_object_removal: bool = True
+    enable_deskew: bool = True  # reference deskews whenever IMU is available
+    scan_period: float = 0.0833  # ros_utils.hpp:17
     # static capacities (TPU): raw scan and filtered scan
     raw_capacity: int = 2048
     filtered_capacity: int = 1024

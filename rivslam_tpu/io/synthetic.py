@@ -136,12 +136,17 @@ def circular_imu_samples(
     return dts, accs, gyrs
 
 
-def circular_trajectory(n_frames: int, radius: float = 15.0, height: float = 2.0, dt: float = 0.1):
+def circular_trajectory(
+    n_frames: int,
+    radius: float = 15.0,
+    height: float = 2.0,
+    dt: float = 0.1,
+    omega: float = 0.2,
+):
     """Known trajectory: constant-speed circle with heading tangent to it.
 
     Returns (times [F], poses [F,4,4] world_T_sensor, velocities [F,3] world).
     """
-    omega = 0.2  # rad/s
     times = np.arange(n_frames) * dt
     poses = np.zeros((n_frames, 4, 4))
     vels = np.zeros((n_frames, 3))

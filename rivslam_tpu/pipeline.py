@@ -1,0 +1,340 @@
+"""Full SLAM engine: preprocessing -> REVE -> odometry -> floor -> window
+backend -> loop closure -> global graph.
+
+Host-side orchestration replacing the reference's 4-nodelet ROS graph
+(radar_graph_slam.launch:44-195). Each stage is a jitted XLA program; the
+Python layer only routes arrays between them and owns the (low-rate) loop
+closure cadence — the role ROS topics + ApproxTime sync played in the
+reference. Deterministic offline replay (the bag_player.py role) is just a
+for-loop over `process_frame`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu.backend import slam
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import EngineConfig
+from rivslam_tpu.core.pointcloud import RadarCloud
+from rivslam_tpu.eval.timing import StageTimers
+from rivslam_tpu.frontend import apdgicp, floor, odometry, reve
+from rivslam_tpu.loop import detector, global_graph, scancontext
+from rivslam_tpu.ops import deskew, filters
+
+
+@dataclasses.dataclass
+class EngineState:
+    """Mutable host-side session state (device pytrees inside)."""
+
+    odo: odometry.OdometryState | None = None
+    backend: slam.BackendState | None = None
+    scdb: scancontext.ScanContextDB | None = None
+    graph: global_graph.PoseGraph | None = None
+    frame_idx: int = 0
+    kf_count: int = 0  # keyframes inserted into the global graph
+    last_loop_accum: float = 0.0
+    prev_loop: dict | None = None
+    kf_clouds: list = dataclasses.field(default_factory=list)  # per-kf (xyz, mask)
+    kf_stamps: list = dataclasses.field(default_factory=list)
+    kf_accum: list = dataclasses.field(default_factory=list)
+    kf_odom: list = dataclasses.field(default_factory=list)  # raw odometry 4x4
+    trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
+
+
+class Engine:
+    """One SLAM session. Call `process_frame` per radar scan."""
+
+    def __init__(self, cfg: EngineConfig = EngineConfig(), dtype=jnp.float32, seed: int = 0):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.key = jax.random.key(seed)
+        self.timers = StageTimers()
+        self.state = EngineState()
+        c = cfg
+
+        @jax.jit
+        def _preprocess(cloud: RadarCloud, ang_vel, key):
+            cl = filters.nan_filter(cloud)
+            cl = filters.power_filter(cl, c.preprocess.power_threshold)
+            ego = reve.estimate_ego_velocity(cl, c.reve, key)
+            # dynamic-object removal: drop REVE outliers (preprocessing:766-774)
+            if c.preprocess.enable_dynamic_object_removal:
+                cl = cl.and_mask(ego.inlier_mask | ~ego.success)
+            if c.preprocess.enable_deskew:
+                cl = deskew.deskew(cl, ang_vel, scan_period=c.preprocess.scan_period)
+            if c.preprocess.use_distance_filter:
+                cl = filters.distance_filter(cl, c.preprocess)
+            if c.preprocess.outlier_removal_method == "RADIUS":
+                cl = filters.radius_outlier_removal(
+                    cl, c.preprocess.radius_radius, c.preprocess.radius_min_neighbors
+                )
+            elif c.preprocess.outlier_removal_method == "STATISTICAL":
+                cl = filters.statistical_outlier_removal(
+                    cl, c.preprocess.statistical_mean_k, c.preprocess.statistical_stddev
+                )
+            prepared = apdgicp.estimate_covariances(cl.xyz, cl.mask, c.registration)
+            fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
+            return cl, ego, prepared, fl
+
+        @jax.jit
+        def _odometry(odo_state, prepared, ego_v, t):
+            return odometry.step(odo_state, prepared, ego_v, t, c.odometry, c.registration)
+
+        @jax.jit
+        def _backend(bk_state, frame):
+            return slam.backend_step(bk_state, frame, c.backend, c.imu)
+
+        @jax.jit
+        def _sc_insert(db, xyz, intensity, mask):
+            return scancontext.insert(db, scancontext.make_descriptor(xyz, intensity, mask, c.loop))
+
+        @jax.jit
+        def _sc_match(db, xyz, intensity, mask, qidx, cand_mask):
+            d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
+            return scancontext.match(db, d, qidx, cand_mask, c.loop)
+
+        @jax.jit
+        def _verify(new_xyz, new_mask, cand_xyz, cand_mask):
+            return detector.verify_loop(new_xyz, new_mask, cand_xyz, cand_mask, c.registration, c.loop)
+
+        @jax.jit
+        def _solve_graph(g):
+            return global_graph.solve_pose_graph(g)
+
+        self._preprocess = _preprocess
+        self._odometry = _odometry
+        self._backend = _backend
+        self._sc_insert = _sc_insert
+        self._sc_match = _sc_match
+        self._verify = _verify
+        self._solve_graph = _solve_graph
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        cloud: RadarCloud,
+        stamp: float,
+        imu_dts: np.ndarray,
+        imu_acc: np.ndarray,
+        imu_gyr: np.ndarray,
+        imu_mask: np.ndarray,
+    ) -> dict:
+        """Feed one radar frame (+IMU batch since the last). Returns outputs."""
+        c = self.cfg
+        st = self.state
+        self.key, k1 = jax.random.split(self.key)
+
+        ang_vel = jnp.asarray(
+            imu_gyr[np.argmax(imu_mask)] if imu_mask.any() else np.zeros(3),
+            dtype=self.dtype,
+        )
+        with self.timers.time("preprocess"):
+            cl, ego, prepared, fl = self._preprocess(cloud, ang_vel, k1)
+
+        # ---- odometry
+        with self.timers.time("odometry"):
+            if st.odo is None:
+                st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
+                odom_pose = jnp.eye(4, dtype=self.dtype)
+                is_kf = True
+                reg_ok = True
+            else:
+                st.odo, oout = self._odometry(st.odo, prepared, ego.v, jnp.asarray(stamp, self.dtype))
+                odom_pose = oout.odom
+                is_kf = bool(oout.is_keyframe)
+                reg_ok = bool(oout.reg.converged)
+
+        # ---- backend window
+        with self.timers.time("backend"):
+            if st.backend is None:
+                st.backend = slam.init_state(
+                    c.backend, c.imu, cloud_capacity=cl.capacity, dtype=self.dtype
+                )
+            frame = slam.BackendFrame(
+                stamp=jnp.asarray(stamp, self.dtype),
+                odom_R=odom_pose[:3, :3],
+                odom_p=odom_pose[:3, 3],
+                xyz=cl.xyz,
+                mask=cl.mask,
+                ego_vel=ego.v,
+                ego_vel_cov=ego.sigma**2,
+                imu_dts=jnp.asarray(imu_dts, self.dtype),
+                imu_acc=jnp.asarray(imu_acc, self.dtype),
+                imu_gyr=jnp.asarray(imu_gyr, self.dtype),
+                imu_mask=jnp.asarray(imu_mask),
+                floor=fl.coeffs,
+                floor_valid=fl.found,
+            )
+            st.backend, bout = self._backend(st.backend, frame)
+
+        # ---- keyframe bookkeeping + global graph + loop closure
+        loop_found = False
+        if is_kf:
+            with self.timers.time("loop"):
+                loop_found = self._on_keyframe(cl, odom_pose, stamp)
+
+        st.frame_idx += 1
+        pose = np.asarray(bout.pose)
+        st.trajectory.append((stamp, pose))
+        return {
+            "odom": np.asarray(odom_pose),
+            "pose": pose,
+            "is_keyframe": is_kf,
+            "ego_velocity": np.asarray(ego.v),
+            "floor": np.asarray(fl.coeffs) if bool(fl.found) else None,
+            "chi2": float(bout.chi2),
+            "loop_found": loop_found,
+            "registration_ok": reg_ok,
+        }
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self, cl: RadarCloud, odom_pose, stamp: float) -> bool:
+        c = self.cfg
+        st = self.state
+        if st.scdb is None:
+            st.scdb = scancontext.ScanContextDB.create(c.loop, dtype=self.dtype)
+            st.graph = global_graph.PoseGraph.create(
+                c.loop.keyframe_capacity, c.loop.loop_capacity, dtype=self.dtype
+            )
+        k = st.kf_count
+        K = c.loop.keyframe_capacity
+        if k >= K:
+            return False  # capacity exhausted; keep running without new loops
+
+        # insert keyframe into the global graph (odometry chain). The edge
+        # measurement is the RAW odometry delta; the node's initial estimate
+        # chains that delta onto the (possibly loop-corrected) previous
+        # estimate so post-loop keyframes stay consistent.
+        g = st.graph
+        if k == 0:
+            rel_R, rel_p = jnp.eye(3, dtype=self.dtype), jnp.zeros(3, dtype=self.dtype)
+            est_T = odom_pose
+        else:
+            prev_odom = st.kf_odom[-1]
+            rel = lie.se3_inverse(prev_odom) @ odom_pose
+            rel_R, rel_p = rel[:3, :3], rel[:3, 3]
+            est_T = lie.se3_matrix(g.R[k - 1], g.p[k - 1]) @ rel
+        Rk = est_T[:3, :3]
+        pk = est_T[:3, 3]
+        st.kf_odom.append(odom_pose)
+        st.graph = dataclasses.replace(
+            g,
+            R=g.R.at[k].set(Rk),
+            p=g.p.at[k].set(pk),
+            node_mask=g.node_mask.at[k].set(True),
+            odom_rel_R=g.odom_rel_R.at[k].set(rel_R),
+            odom_rel_p=g.odom_rel_p.at[k].set(rel_p),
+            odom_info=g.odom_info.at[k].set(jnp.eye(6, dtype=self.dtype) * 100.0),
+        )
+        st.scdb = self._sc_insert(st.scdb, cl.xyz, cl.intensity, cl.mask)
+        st.kf_clouds.append((cl.xyz, cl.mask))
+        st.kf_stamps.append(stamp)
+        accum = float(np.asarray(st.odo.accum_distance)) if st.odo is not None else 0.0
+        st.kf_accum.append(accum)
+        st.kf_count += 1
+
+        # ---- loop detection (activated, unlike the reference)
+        if not c.loop.enable or st.kf_count < c.loop.num_exclude_recent + 2:
+            return False
+        accum_arr = jnp.zeros(K, dtype=self.dtype).at[: st.kf_count].set(
+            jnp.asarray(st.kf_accum, dtype=self.dtype)
+        )
+        cand = detector.prefilter_candidates(
+            accum_arr,
+            st.graph.R,
+            st.graph.p,
+            st.graph.node_mask,
+            jnp.asarray(k),
+            jnp.asarray(st.last_loop_accum, self.dtype),
+            c.loop,
+        )
+        idx, yaw, dist = self._sc_match(
+            st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
+        )
+        idx = int(idx)
+        if idx < 0:
+            return False
+        # registration verification
+        cand_xyz, cand_mask = st.kf_clouds[idx]
+        res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask)
+        if not bool(ok):
+            return False
+        # odometry check: T_lc maps new cloud into candidate frame
+        T_lc = res.T  # new (j=k) -> cand (i=idx)
+        odom_i = lie.se3_matrix(st.graph.R[idx], st.graph.p[idx])
+        odom_j = odom_pose
+        if c.loop.enable and not bool(
+            detector.odometry_check(
+                lie.se3_inverse(T_lc), odom_i, odom_j, jnp.asarray(k - idx), c.loop
+            )
+        ):
+            return False
+        if st.prev_loop is not None:
+            ok_pair = detector.pairwise_check(
+                lie.se3_inverse(T_lc),
+                odom_i,
+                odom_j,
+                st.prev_loop["odom_i"],
+                st.prev_loop["odom_j"],
+                st.prev_loop["T_lc"],
+                jnp.asarray(True),
+                c.loop,
+            )
+            if not bool(ok_pair):
+                return False
+
+        # accept: add loop edge (measurement T_i^-1 T_j = inverse of T_lc
+        # since T_lc aligns cloud_j into frame_i: T_i^-1 T_j ~ T_lc)
+        g = st.graph
+        ln = int(np.asarray(jnp.sum(g.loop_mask)))
+        if ln >= g.loop_i.shape[0]:
+            return False
+        st.graph = dataclasses.replace(
+            g,
+            loop_i=g.loop_i.at[ln].set(idx),
+            loop_j=g.loop_j.at[ln].set(k),
+            loop_rel_R=g.loop_rel_R.at[ln].set(T_lc[:3, :3]),
+            loop_rel_p=g.loop_rel_p.at[ln].set(T_lc[:3, 3]),
+            loop_info=g.loop_info.at[ln].set(jnp.eye(6, dtype=self.dtype) * 400.0),
+            loop_mask=g.loop_mask.at[ln].set(True),
+        )
+        st.last_loop_accum = accum
+        st.prev_loop = {"odom_i": odom_i, "odom_j": odom_j, "T_lc": T_lc}
+        # re-optimize the global graph
+        with self.timers.time("graph_opt"):
+            st.graph, chi2 = self._solve_graph(st.graph)
+        return True
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """Re-optimize the global graph over the final keyframe set (the
+        reference exposes the same capability through its dump/optimize
+        services). No-op when no loops were found."""
+        st = self.state
+        if st.graph is None or not bool(np.asarray(st.graph.loop_mask).any()):
+            return
+        with self.timers.time("graph_opt"):
+            st.graph, _ = self._solve_graph(st.graph)
+
+    def optimized_keyframe_poses(self) -> np.ndarray:
+        """[K_used, 4, 4] globally optimized keyframe poses."""
+        st = self.state
+        if st.graph is None or st.kf_count == 0:
+            return np.zeros((0, 4, 4))
+        R = np.asarray(st.graph.R[: st.kf_count])
+        p = np.asarray(st.graph.p[: st.kf_count])
+        out = np.tile(np.eye(4), (st.kf_count, 1, 1))
+        out[:, :3, :3] = R
+        out[:, :3, 3] = p
+        return out
+
+    def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        ts = np.asarray([t for t, _ in self.state.trajectory])
+        poses = np.stack([T for _, T in self.state.trajectory]) if ts.size else np.zeros((0, 4, 4))
+        return ts, poses
