@@ -1,0 +1,233 @@
+"""Dataset containers, radar format shims, and the offline replay driver.
+
+Capability parity with the reference's ingest + replay tooling:
+- three radar input formats (preprocessing_nodelet.cpp:66-80):
+  Oculii Eagle (PointCloud + Doppler/Power channels), Sensrad Hugin
+  (PointCloud2 fields), and msgs_radar RadarScanExtended (spherical targets;
+  note the reference NEGATES z: z = -r sin(el), cloud_callback_scan:334-336);
+- offline deterministic replay (bag_player.py) as a plain loop — no
+  backpressure protocol needed because `Engine.process_frame` is synchronous;
+- ground-truth loading/republishing (preprocessing_nodelet.cpp:209-256) as
+  simple TUM-file association.
+
+The on-disk container is a single .npz ("rivseq") holding ragged per-frame
+target arrays (CSR offsets), the IMU stream, and optional ground truth —
+the rosbag replacement. Conversion FROM rosbag runs wherever `rosbag` is
+importable (not in this image) via `convert_rosbag`; the binary mmap-able
+variant lives in the C++ runtime (rivslam_tpu/runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rivslam_tpu.core.pointcloud import RadarCloud
+
+
+# ---------------------------------------------------------------------------
+# format shims
+# ---------------------------------------------------------------------------
+
+
+def targets_to_xyz(range_, azimuth, elevation):
+    """RadarScanExtended spherical targets -> cartesian, reproducing the
+    reference's sign convention (z NEGATED, cloud_callback_scan:334-336)."""
+    x = range_ * np.cos(elevation) * np.cos(azimuth)
+    y = range_ * np.cos(elevation) * np.sin(azimuth)
+    z = -range_ * np.sin(elevation)
+    return np.stack([x, y, z], axis=-1)
+
+
+def eagle_channels_to_frame(points_xyz, doppler, power):
+    """Oculii Eagle sensor_msgs/PointCloud layout: xyz points + Doppler and
+    Power channels (preprocessing cloud_callback)."""
+    return dict(xyz=np.asarray(points_xyz), doppler=np.asarray(doppler), intensity=np.asarray(power))
+
+
+def hugin_fields_to_frame(x, y, z, v, power):
+    """Sensrad Hugin PointCloud2 field layout (HuginPointCloudType,
+    rio_utils/radar_point_cloud.h)."""
+    return dict(
+        xyz=np.stack([x, y, z], axis=-1), doppler=np.asarray(v), intensity=np.asarray(power)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence container
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RadarSequence:
+    """Ragged radar sequence + IMU stream + optional ground truth."""
+
+    frame_stamps: np.ndarray  # [F]
+    offsets: np.ndarray  # [F+1] CSR offsets into target arrays
+    xyz: np.ndarray  # [T, 3]
+    doppler: np.ndarray  # [T]
+    intensity: np.ndarray  # [T]
+    imu_stamps: np.ndarray  # [M]
+    imu_acc: np.ndarray  # [M, 3]
+    imu_gyr: np.ndarray  # [M, 3]
+    gt_stamps: np.ndarray | None = None  # [G]
+    gt_poses: np.ndarray | None = None  # [G, 4, 4]
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.frame_stamps)
+
+    def frame(self, i: int) -> dict:
+        s, e = self.offsets[i], self.offsets[i + 1]
+        return dict(
+            stamp=float(self.frame_stamps[i]),
+            xyz=self.xyz[s:e],
+            doppler=self.doppler[s:e],
+            intensity=self.intensity[s:e],
+        )
+
+    def imu_between(self, t0: float, t1: float, capacity: int):
+        """Masked fixed-capacity IMU batch in (t0, t1], with per-sample dt
+        (clamped like the reference, nodelet:355-362)."""
+        sel = (self.imu_stamps > t0) & (self.imu_stamps <= t1)
+        idx = np.where(sel)[0][:capacity]
+        k = len(idx)
+        dts = np.zeros(capacity)
+        acc = np.zeros((capacity, 3))
+        gyr = np.zeros((capacity, 3))
+        m = np.zeros(capacity, dtype=bool)
+        if k:
+            stamps = self.imu_stamps[idx]
+            d = np.diff(np.concatenate([[t0], stamps]))
+            d = np.clip(d, 1e-4, 0.01)  # reference clamps dt > 0.01 -> 0.005
+            dts[:k] = d
+            acc[:k] = self.imu_acc[idx]
+            gyr[:k] = self.imu_gyr[idx]
+            m[:k] = True
+        return dts, acc, gyr, m
+
+    def save(self, path: str) -> None:
+        data = dict(
+            frame_stamps=self.frame_stamps,
+            offsets=self.offsets,
+            xyz=self.xyz,
+            doppler=self.doppler,
+            intensity=self.intensity,
+            imu_stamps=self.imu_stamps,
+            imu_acc=self.imu_acc,
+            imu_gyr=self.imu_gyr,
+        )
+        if self.gt_stamps is not None:
+            data["gt_stamps"] = self.gt_stamps
+            data["gt_poses"] = self.gt_poses
+        np.savez_compressed(path, **data)
+
+    @staticmethod
+    def load(path: str) -> "RadarSequence":
+        d = np.load(path)
+        return RadarSequence(
+            frame_stamps=d["frame_stamps"],
+            offsets=d["offsets"],
+            xyz=d["xyz"],
+            doppler=d["doppler"],
+            intensity=d["intensity"],
+            imu_stamps=d["imu_stamps"],
+            imu_acc=d["imu_acc"],
+            imu_gyr=d["imu_gyr"],
+            gt_stamps=d["gt_stamps"] if "gt_stamps" in d else None,
+            gt_poses=d["gt_poses"] if "gt_poses" in d else None,
+        )
+
+    @staticmethod
+    def from_frames(frames: list[dict], imu_stamps, imu_acc, imu_gyr, gt=None) -> "RadarSequence":
+        offsets = np.zeros(len(frames) + 1, dtype=np.int64)
+        for i, f in enumerate(frames):
+            offsets[i + 1] = offsets[i] + len(f["xyz"])
+        return RadarSequence(
+            frame_stamps=np.asarray([f["stamp"] for f in frames]),
+            offsets=offsets,
+            xyz=np.concatenate([f["xyz"] for f in frames]) if frames else np.zeros((0, 3)),
+            doppler=np.concatenate([f["doppler"] for f in frames]) if frames else np.zeros(0),
+            intensity=np.concatenate([f["intensity"] for f in frames]) if frames else np.zeros(0),
+            imu_stamps=np.asarray(imu_stamps),
+            imu_acc=np.asarray(imu_acc),
+            imu_gyr=np.asarray(imu_gyr),
+            gt_stamps=gt[0] if gt else None,
+            gt_poses=gt[1] if gt else None,
+        )
+
+
+def convert_rosbag(
+    bag_path: str,
+    out_path: str,
+    radar_topic: str = "/radar_enhanced_pcl",
+    imu_topic: str = "/vectornav/imu",
+    radar_format: str = "eagle",
+) -> None:
+    """NTU4DRadLM / MineAndForest rosbag -> rivseq conversion. Requires the
+    `rosbag` package (run on a ROS host; this image has no ROS)."""
+    try:
+        import rosbag  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "rosbag not available in this environment; run the conversion on "
+            "a ROS host, then load the .npz here"
+        ) from e
+    frames, imu_t, imu_a, imu_g = [], [], [], []
+    with rosbag.Bag(bag_path) as bag:  # pragma: no cover
+        for topic, msg, t in bag.read_messages(topics=[radar_topic, imu_topic]):
+            if topic == imu_topic:
+                imu_t.append(msg.header.stamp.to_sec())
+                imu_a.append([msg.linear_acceleration.x, msg.linear_acceleration.y, msg.linear_acceleration.z])
+                imu_g.append([msg.angular_velocity.x, msg.angular_velocity.y, msg.angular_velocity.z])
+            else:
+                if radar_format == "eagle":
+                    xyz = np.asarray([[p.x, p.y, p.z] for p in msg.points])
+                    ch = {c.name: np.asarray(c.values) for c in msg.channels}
+                    f = eagle_channels_to_frame(
+                        xyz, ch.get("Doppler", np.zeros(len(xyz))), ch.get("Power", np.zeros(len(xyz)))
+                    )
+                elif radar_format == "scan_extended":
+                    rng_ = np.asarray([tg.range for tg in msg.targets])
+                    az = np.asarray([tg.azimuth for tg in msg.targets])
+                    el = np.asarray([tg.elevation for tg in msg.targets])
+                    f = dict(
+                        xyz=targets_to_xyz(rng_, az, el),
+                        doppler=np.asarray([tg.velocity for tg in msg.targets]),
+                        intensity=np.asarray([tg.snr for tg in msg.targets]),
+                    )
+                else:
+                    raise ValueError(radar_format)
+                f["stamp"] = msg.header.stamp.to_sec()
+                frames.append(f)
+    seq = RadarSequence.from_frames(frames, imu_t, imu_a, imu_g)
+    seq.save(out_path)
+
+
+# ---------------------------------------------------------------------------
+# replay driver (bag_player equivalent)
+# ---------------------------------------------------------------------------
+
+
+def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int = 64, progress=None):
+    """Deterministic offline replay of a sequence through an Engine."""
+    outputs = []
+    prev_t = None
+    for i in range(seq.num_frames):
+        f = seq.frame(i)
+        cloud = RadarCloud.from_numpy(
+            f["xyz"], capacity, doppler=f["doppler"], intensity=f["intensity"],
+            dtype=engine.dtype,
+        )
+        t0 = prev_t if prev_t is not None else f["stamp"] - 0.1
+        dts, acc, gyr, m = seq.imu_between(t0, f["stamp"], imu_capacity)
+        out = engine.process_frame(cloud, f["stamp"], dts, acc, gyr, m)
+        outputs.append(out)
+        prev_t = f["stamp"]
+        if progress is not None:
+            progress(i, seq.num_frames)
+    engine.finalize()
+    return outputs
