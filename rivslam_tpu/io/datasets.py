@@ -102,7 +102,10 @@ class RadarSequence:
         if k:
             stamps = self.imu_stamps[idx]
             d = np.diff(np.concatenate([[t0], stamps]))
-            d = np.clip(d, 1e-4, 0.01)  # reference clamps dt > 0.01 -> 0.005
+            # sanity clamp; the reference forces dt>0.01 -> 0.005 (tuned for
+            # its 400 Hz IMU, nodelet:357-362) — we clamp to a 20 Hz floor so
+            # lower-rate IMUs integrate correctly
+            d = np.clip(d, 1e-4, 0.05)
             dts[:k] = d
             acc[:k] = self.imu_acc[idx]
             gyr[:k] = self.imu_gyr[idx]
