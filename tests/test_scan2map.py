@@ -1,0 +1,65 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import OdometryConfig, RegistrationConfig
+from rivslam_tpu.frontend import apdgicp, scan2map
+from rivslam_tpu.io import synthetic
+
+REG = RegistrationConfig(method="FAST_GICP", transformation_epsilon=5e-4)
+ODO = OdometryConfig(use_ego_vel=True, enable_scan_to_map=True, max_submap_frames=4)
+
+
+def test_scan_to_map_tracks():
+    rng = np.random.default_rng(13)
+    world = synthetic.make_world(rng, n_points=12000)
+    n = 10
+    times, poses, vels = synthetic.circular_trajectory(n, radius=10.0, dt=0.25, omega=0.3)
+    clouds = [
+        synthetic.observe(world, poses[i], rng, capacity=640, noise=0.005,
+                          sensor_vel_world=vels[i], dtype=jnp.float64)
+        for i in range(n)
+    ]
+    prep = [apdgicp.estimate_covariances(c.xyz, c.mask, REG) for c in clouds]
+    ego = [jnp.asarray(poses[i][:3, :3].T @ vels[i]) for i in range(n)]
+
+    step = jax.jit(lambda s, c, v, t: scan2map.step(s, c, v, t, ODO, REG))
+    st = scan2map.init_state(prep[0], times[0], ODO, dtype=jnp.float64)
+    T0 = poses[0]
+    errs = []
+    for i in range(1, n):
+        st, out = step(st, prep[i], ego[i], times[i])
+        gt = np.linalg.inv(T0) @ poses[i]
+        errs.append(np.linalg.norm(np.asarray(out.odom)[:3, 3] - gt[:3, 3]))
+    # scan-to-map accuracy is bounded by the submap's internal consistency,
+    # which inherits odometry drift — the reason the reference ships this
+    # path disabled by default. Contract: it tracks without divergence.
+    assert max(errs) < 1.5, errs
+    assert errs[-1] < 1.5
+    # submap populated with several keyframes
+    assert int(np.asarray(st.kf_valid).sum()) >= 3
+    # submap target has more valid points than a single scan
+    single = int(np.asarray(clouds[0].mask).sum())
+    assert int(np.asarray(st.target.mask).sum()) > single
+
+
+def test_submap_build_geometry():
+    """Two keyframes offset by a known transform merge consistently."""
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(64, 3)) * 5
+    dtype = jnp.float64
+    xi = np.asarray([0.0, 0.0, 0.1, 1.0, 0.5, 0.0])
+    T01 = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    kf_xyz = jnp.stack([jnp.asarray(pts), jnp.asarray(pts)])
+    kf_mask = jnp.ones((2, 64), dtype=bool)
+    kf_pose = jnp.stack([jnp.eye(4, dtype=dtype), jnp.asarray(T01)])
+    kf_valid = jnp.ones(2, dtype=bool)
+    target = scan2map._build_submap(
+        kf_xyz, kf_mask, kf_pose, kf_valid, jnp.asarray(T01), REG
+    )
+    # newest keyframe's own points are unchanged
+    np.testing.assert_allclose(np.asarray(target.xyz[64:]), pts, atol=1e-12)
+    # older keyframe's points are mapped by T01^-1 (into newest frame)
+    expect = (np.linalg.inv(T01)[:3, :3] @ pts.T).T + np.linalg.inv(T01)[:3, 3]
+    np.testing.assert_allclose(np.asarray(target.xyz[:64]), expect, atol=1e-12)
