@@ -1,0 +1,173 @@
+"""Voxelized GICP (VGICP) — registration against a Gaussian voxel map.
+
+Capability parity with FastVGICP / FastVGICPCuda (fast_vgicp.hpp + impl,
+fast_vgicp_voxel.hpp:57-130, cuda/*.cu): the target becomes a voxel map of
+per-voxel (mean, covariance, count) in additive mode; each source point is
+matched to its nearby voxels (the DIRECT1/7 neighborhood) and contributes a
+point-to-distribution Mahalanobis term.
+
+TPU-first: the voxel map is built by one sort + segment-reduce
+(ops/voxel.gaussian_voxel_map); the voxel-hash neighbor lookup becomes a
+masked [N, V] distance matrix against voxel centers on the MXU with top-k
+selection — exact within the neighborhood radius, no hash tables, no
+device-unfriendly pointer chasing (this replaces the CUDA
+find_voxel_correspondences kernel). The LM driver matches LsqRegistration
+exactly like frontend/apdgicp.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import RegistrationConfig
+from rivslam_tpu.frontend import apdgicp
+from rivslam_tpu.ops import voxel as voxel_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VoxelMap:
+    coords: jax.Array  # [V,3] int32 voxel coords
+    mean: jax.Array  # [V,3]
+    cov: jax.Array  # [V,3,3] regularized
+    count: jax.Array  # [V]
+
+    @property
+    def valid(self):
+        return self.count > 0
+
+
+def build_voxel_map(
+    xyz: jax.Array,
+    mask: jax.Array,
+    cfg: RegistrationConfig,
+    capacity: int = 2048,
+) -> VoxelMap:
+    coords, mean, cov, cnt = voxel_mod.gaussian_voxel_map(
+        jnp.where(mask[:, None], xyz, 1e6), mask, cfg.voxel_resolution, capacity
+    )
+    # PLANE-style regularization like the point covariances
+    vals, vecs = jnp.linalg.eigh(cov + 1e-9 * jnp.eye(3, dtype=xyz.dtype))
+    new_vals = jnp.maximum(vals, 1e-3)
+    cov_reg = jnp.einsum("vij,vj,vkj->vik", vecs, new_vals, vecs)
+    return VoxelMap(coords=coords, mean=mean, cov=cov_reg, count=cnt)
+
+
+def _voxel_correspondences(T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, k_neighbors=7):
+    """Nearest voxels per transformed source point (DIRECT7 analogue)."""
+    pt = lie.transform_points(T, src.xyz)  # [N,3]
+    centers = (vm.coords.astype(pt.dtype) + 0.5) * cfg.voxel_resolution
+    centers = jnp.where(vm.valid[:, None], centers, 1e6)
+    d2 = (
+        jnp.sum(pt * pt, axis=-1)[:, None]
+        + jnp.sum(centers * centers, axis=-1)[None, :]
+        - 2.0 * pt @ centers.T
+    )
+    neg, idx = jax.lax.top_k(-d2, k_neighbors)  # [N,k]
+    # a voxel participates if its center is within one voxel diagonal
+    radius = cfg.voxel_resolution * 0.87 * 2.0  # ~ sqrt(3)/2 * 2
+    corr = (-neg < radius * radius) & src.mask[:, None] & (vm.count[idx] > 0)
+
+    cov_B = vm.cov[idx]  # [N,k,3,3]
+    R = T[:3, :3]
+    cov_A = jnp.einsum("ij,njk,lk->nil", R, src.cov, R)  # [N,3,3]
+    mah = apdgicp._inv3(cov_B + cov_A[:, None, :, :])
+    mah = jnp.where(corr[..., None, None], mah, 0.0)
+    return idx, corr, mah
+
+
+def _linearize_vgicp(T, src, vm: VoxelMap, idx, corr, mah):
+    pt = lie.transform_points(T, src.xyz)  # [N,3]
+    e = vm.mean[idx] - pt[:, None, :]  # [N,k,3]
+    me = jnp.einsum("nkij,nkj->nki", mah, e)
+    err = jnp.sum(jnp.where(corr, jnp.einsum("nki,nki->nk", e, me), 0.0))
+    J = jnp.concatenate(
+        [lie.hat(pt), jnp.broadcast_to(-jnp.eye(3, dtype=pt.dtype), pt.shape + (3,))],
+        axis=-1,
+    )  # [N,3,6]
+    MJ = jnp.einsum("nkij,njl->nkil", mah, J)
+    H = jnp.einsum("nji,nkjl->il", J, MJ)
+    b = jnp.einsum("nji,nkj->i", J, me)
+    return H, b, err
+
+
+def _error_vgicp(T, src, vm, idx, corr, mah):
+    pt = lie.transform_points(T, src.xyz)
+    e = vm.mean[idx] - pt[:, None, :]
+    return jnp.sum(jnp.where(corr, jnp.einsum("nkij,nki,nkj->nk", mah, e, e), 0.0))
+
+
+def register_vgicp(
+    src: apdgicp.PreparedCloud,
+    vm: VoxelMap,
+    guess: jax.Array,
+    cfg: RegistrationConfig,
+) -> apdgicp.RegistrationResult:
+    """LsqRegistration LM driver over voxel correspondences."""
+    dtype = src.xyz.dtype
+    T0 = guess.astype(dtype)
+
+    def outer_cond(c):
+        T, lam, converged, failed, it, Hf, errf = c
+        return (~converged) & (~failed) & (it < cfg.max_iterations)
+
+    def outer_body(c):
+        T, lam, converged, failed, it, Hf, errf = c
+        idx, corr, mah = _voxel_correspondences(T, src, vm, cfg)
+        H, b, y0 = _linearize_vgicp(T, src, vm, idx, corr, mah)
+        lam = jnp.where(lam < 0, cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diagonal(H))), lam)
+
+        def inner_cond(ic):
+            T_i, lam_i, nu, j, done, success, conv_i, dlast = ic
+            return (~done) & (j < cfg.lm_max_iterations)
+
+        def inner_body(ic):
+            T_i, lam_i, nu, j, done, success, conv_i, dlast = ic
+            d = jnp.linalg.solve(H + lam_i * jnp.eye(6, dtype=dtype), -b[:, None])[:, 0]
+            delta = lie.se3_matrix(lie.so3_exp(d[:3]), d[3:])
+            T_new = delta @ T
+            yi = _error_vgicp(T_new, src, vm, idx, corr, mah)
+            denom = jnp.dot(d, lam_i * d - b)
+            rho = (y0 - yi) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            accept = rho >= 0.0
+            conv_rej = apdgicp._is_converged(delta, cfg)
+            return (
+                jnp.where(accept, T_new, T_i),
+                jnp.where(accept, lam_i * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3), nu * lam_i),
+                jnp.where(accept, nu, 2 * nu),
+                j + 1,
+                accept | conv_rej,
+                accept,
+                conv_rej & ~accept,
+                jnp.where(accept, delta, dlast),
+            )
+
+        init = (T, lam, jnp.asarray(2.0, dtype), 0, jnp.asarray(False), jnp.asarray(False), jnp.asarray(False), jnp.eye(4, dtype=dtype))
+        T_i, lam_i, nu, j, done, success, conv_i, delta = jax.lax.while_loop(inner_cond, inner_body, init)
+        return (
+            T_i,
+            lam_i,
+            jnp.where(success, apdgicp._is_converged(delta, cfg), conv_i),
+            (~success) & (~conv_i),
+            it + 1,
+            jnp.where(success, H, Hf),
+            jnp.where(success, y0, errf),
+        )
+
+    init = (T0, jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32), jnp.eye(6, dtype=dtype), jnp.asarray(jnp.inf, dtype))
+    T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, outer_body, init)
+    idx, corr, mah = _voxel_correspondences(T, src, vm, cfg)
+    ncorr = jnp.sum(corr)
+    pt = lie.transform_points(T, src.xyz)
+    d2 = jnp.sum((vm.mean[idx] - pt[:, None, :]) ** 2, axis=-1)
+    fitness = jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(ncorr, 1)
+    _, _, final_err = _linearize_vgicp(T, src, vm, idx, corr, mah)
+    return apdgicp.RegistrationResult(
+        T=T, H=Hf, error=final_err, converged=converged, iterations=it,
+        num_correspondences=ncorr.astype(jnp.int32), fitness=fitness,
+    )

@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import RegistrationConfig
+from rivslam_tpu.frontend import apdgicp, vgicp
+from rivslam_tpu.io import synthetic
+
+CFG = RegistrationConfig(transformation_epsilon=5e-4, voxel_resolution=1.0)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(8)
+    world = synthetic.make_world(rng, n_points=12000)
+    T0 = np.eye(4)
+    T0[:3, 3] = [0, 0, 2.0]
+    xi = np.array([0.0, 0.0, 0.03, 0.3, -0.2, 0.03])
+    T_rel = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    tgt = synthetic.observe(world, T0, rng, capacity=1024, noise=0.01, dtype=jnp.float64)
+    src = synthetic.observe(world, T0 @ T_rel, rng, capacity=1024, noise=0.01, dtype=jnp.float64)
+    return src, tgt, T_rel
+
+
+def test_voxel_map_build(scene):
+    src, tgt, _ = scene
+    vm = vgicp.build_voxel_map(tgt.xyz, tgt.mask, CFG, capacity=2048)
+    n = int(np.asarray(vm.valid).sum())
+    assert n > 200
+    # per-voxel covs are SPD
+    covs = np.asarray(vm.cov)[np.asarray(vm.valid)]
+    assert (np.linalg.eigvalsh(covs) > 0).all()
+
+
+def test_vgicp_alignment(scene):
+    src, tgt, T_rel = scene
+    s = apdgicp.estimate_covariances(src.xyz, src.mask, CFG)
+    vm = vgicp.build_voxel_map(tgt.xyz, tgt.mask, CFG, capacity=2048)
+    res = vgicp.register_vgicp(s, vm, jnp.eye(4, dtype=jnp.float64), CFG)
+    assert bool(res.converged)
+    delta = np.asarray(lie.se3_inverse(res.T)) @ T_rel
+    dt = np.linalg.norm(delta[:3, 3])
+    dr = float(lie.rotation_angle(jnp.asarray(delta[:3, :3]))) * 180 / np.pi
+    # voxelized metric trades accuracy for robustness/speed: sub-voxel recovery
+    assert dt < 0.5, dt
+    assert dr < 2.0, dr
+
+
+def test_vgicp_exact_on_identity(scene):
+    src, tgt, _ = scene
+    s = apdgicp.estimate_covariances(tgt.xyz, tgt.mask, CFG)
+    vm = vgicp.build_voxel_map(tgt.xyz, tgt.mask, CFG, capacity=2048)
+    res = vgicp.register_vgicp(s, vm, jnp.eye(4, dtype=jnp.float64), CFG)
+    # registering the map's own source cloud stays near identity
+    assert np.linalg.norm(np.asarray(res.T)[:3, 3]) < 0.2
