@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: fused masked nearest-neighbor search.
+
+The correspondence step of every GICP iteration is a [N, M] distance matrix
++ argmin (ops/knn.py). XLA materializes the matrix in HBM between the matmul
+and the reduction at larger sizes; this kernel keeps each distance TILE in
+VMEM and fuses cross-term (MXU) + row norms + masked argmin in one pass, so
+HBM traffic is O(N+M) instead of O(N*M).
+
+Layout: coordinates come in transposed [3, N] so the lane (last) dimension
+is the point axis — [N, 3] arrays are hostile to the (8,128) f32 tile.
+Queries are processed in TILE_Q row blocks; the reference set is scanned in
+TILE_M column blocks with a running (min, argmin) carried in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 256
+TILE_M = 512
+BIG = 1e30
+
+
+def _nn_kernel(q_ref, r_ref, rmask_ref, idx_ref, d2_ref):
+    # q_ref: [3, TILE_Q] block; r_ref: [3, M]; rmask_ref: [1, M] (f32 0/1)
+    q = q_ref[:]  # [3, TQ]
+    qn = jnp.sum(q * q, axis=0)  # [TQ]
+    m_total = r_ref.shape[1]
+    num_m = m_total // TILE_M
+
+    def body(j, carry):
+        best_d2, best_idx = carry  # [TQ], [TQ] int32
+        r = r_ref[:, pl.ds(j * TILE_M, TILE_M)]  # [3, TM]
+        rmask = rmask_ref[0, pl.ds(j * TILE_M, TILE_M)]  # [TM]
+        rn = jnp.sum(r * r, axis=0)  # [TM]
+        cross = jax.lax.dot_general(
+            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, TM]
+        d2 = qn[:, None] + rn[None, :] - 2.0 * cross
+        d2 = jnp.where(rmask[None, :] > 0.5, d2, BIG)
+        loc = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [TQ]
+        loc_d2 = jnp.min(d2, axis=1)
+        upd = loc_d2 < best_d2
+        return (
+            jnp.where(upd, loc_d2, best_d2),
+            jnp.where(upd, loc + j * TILE_M, best_idx),
+        )
+
+    init = (
+        jnp.full((q.shape[1],), BIG, dtype=jnp.float32),
+        jnp.zeros((q.shape[1],), dtype=jnp.int32),
+    )
+    best_d2, best_idx = jax.lax.fori_loop(0, num_m, body, init)
+    idx_ref[0, :] = best_idx
+    d2_ref[0, :] = best_d2
+
+
+def _pad_to(x, mult, axis, value=0.0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_neighbor_pallas(
+    query: jax.Array,  # [N, 3] f32
+    ref: jax.Array,  # [M, 3] f32
+    ref_mask: jax.Array,  # [M] bool
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact masked 1-NN; same contract as ops.knn.nearest_neighbor."""
+    n = query.shape[0]
+    m = ref.shape[0]
+    q_t = _pad_to(query.astype(jnp.float32).T, TILE_Q, axis=1)  # [3, Np]
+    r_t = _pad_to(ref.astype(jnp.float32).T, TILE_M, axis=1)  # [3, Mp]
+    rm = _pad_to(ref_mask.astype(jnp.float32)[None, :], TILE_M, axis=1)  # [1, Mp]
+    npad = q_t.shape[1]
+    mpad = r_t.shape[1]
+
+    grid = (npad // TILE_Q,)
+    idx, d2 = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, r_t, rm)
+    return idx[0, :n], d2[0, :n]

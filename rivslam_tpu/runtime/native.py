@@ -1,0 +1,168 @@
+"""ctypes bindings for the rivbin native runtime (see rivbin.cpp).
+
+The shared library is compiled with g++ on first use and cached beside the
+source. API mirrors the C functions; `NativeSequence` / `PrefetchLoader`
+wrap them pythonically and hand fixed-shape numpy buffers straight to JAX.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "rivbin.cpp")
+_LIB = os.path.join(_HERE, "librivbin.so")
+
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        _build()
+    lib = ctypes.CDLL(_LIB)
+    c = ctypes
+    lib.rivbin_open.restype = c.c_void_p
+    lib.rivbin_open.argtypes = [c.c_char_p]
+    lib.rivbin_close.argtypes = [c.c_void_p]
+    lib.rivbin_num_frames.restype = c.c_int64
+    lib.rivbin_num_frames.argtypes = [c.c_void_p]
+    lib.rivbin_num_imu.restype = c.c_int64
+    lib.rivbin_num_imu.argtypes = [c.c_void_p]
+    lib.rivbin_frame_stamp.restype = c.c_double
+    lib.rivbin_frame_stamp.argtypes = [c.c_void_p, c.c_int64]
+    lib.rivbin_frame_count.restype = c.c_int64
+    lib.rivbin_frame_count.argtypes = [c.c_void_p, c.c_int64]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rivbin_read_frame.argtypes = [c.c_void_p, c.c_int64, c.c_int64, f32p, f32p, f32p, u8p]
+    lib.rivbin_imu_between.restype = c.c_int64
+    lib.rivbin_imu_between.argtypes = [c.c_void_p, c.c_double, c.c_double, c.c_int64, f64p, f32p, f32p]
+    lib.rivbin_write.restype = c.c_int
+    lib.rivbin_write.argtypes = [
+        c.c_char_p, c.c_int64, f64p, i64p, f32p, f32p, f32p, c.c_int64, f64p, f32p, f32p,
+    ]
+    lib.rivbin_loader_create.restype = c.c_void_p
+    lib.rivbin_loader_create.argtypes = [c.c_void_p, c.c_int64, c.c_int, c.c_int]
+    lib.rivbin_loader_next.restype = c.c_int64
+    lib.rivbin_loader_next.argtypes = [c.c_void_p, f32p, f32p, f32p, u8p, f64p]
+    lib.rivbin_loader_destroy.argtypes = [c.c_void_p]
+    _lib = lib
+    return lib
+
+
+def write_rivbin(path: str, seq) -> None:
+    """Serialize an io.datasets.RadarSequence to the native container."""
+    lib = get_lib()
+    rc = lib.rivbin_write(
+        path.encode(),
+        seq.num_frames,
+        np.ascontiguousarray(seq.frame_stamps, dtype=np.float64),
+        np.ascontiguousarray(seq.offsets, dtype=np.int64),
+        np.ascontiguousarray(seq.xyz, dtype=np.float32),
+        np.ascontiguousarray(seq.doppler, dtype=np.float32),
+        np.ascontiguousarray(seq.intensity, dtype=np.float32),
+        len(seq.imu_stamps),
+        np.ascontiguousarray(seq.imu_stamps, dtype=np.float64),
+        np.ascontiguousarray(seq.imu_acc, dtype=np.float32),
+        np.ascontiguousarray(seq.imu_gyr, dtype=np.float32),
+    )
+    if rc != 0:
+        raise IOError(f"rivbin_write failed: {rc}")
+
+
+class NativeSequence:
+    """mmap-backed reader."""
+
+    def __init__(self, path: str):
+        self._lib = get_lib()
+        self._h = self._lib.rivbin_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open rivbin file {path}")
+
+    def close(self):
+        if self._h:
+            self._lib.rivbin_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @property
+    def num_frames(self) -> int:
+        return self._lib.rivbin_num_frames(self._h)
+
+    def frame_stamp(self, i: int) -> float:
+        return self._lib.rivbin_frame_stamp(self._h, i)
+
+    def frame_count(self, i: int) -> int:
+        return self._lib.rivbin_frame_count(self._h, i)
+
+    def read_frame(self, i: int, capacity: int):
+        xyz = np.empty((capacity, 3), dtype=np.float32)
+        dop = np.empty(capacity, dtype=np.float32)
+        inten = np.empty(capacity, dtype=np.float32)
+        mask = np.empty(capacity, dtype=np.uint8)
+        self._lib.rivbin_read_frame(self._h, i, capacity, xyz, dop, inten, mask)
+        return xyz, dop, inten, mask.astype(bool)
+
+    def imu_between(self, t0: float, t1: float, capacity: int):
+        stamps = np.zeros(capacity, dtype=np.float64)
+        acc = np.zeros((capacity, 3), dtype=np.float32)
+        gyr = np.zeros((capacity, 3), dtype=np.float32)
+        k = self._lib.rivbin_imu_between(self._h, t0, t1, capacity, stamps, acc, gyr)
+        return int(k), stamps, acc, gyr
+
+
+class PrefetchLoader:
+    """Background-threaded in-order frame loader (double buffering+)."""
+
+    def __init__(self, seq: NativeSequence, capacity: int, threads: int = 2, max_queue: int = 8):
+        self._lib = get_lib()
+        self._seq = seq
+        self.capacity = capacity
+        self._h = self._lib.rivbin_loader_create(seq._h, capacity, threads, max_queue)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        xyz = np.empty((self.capacity, 3), dtype=np.float32)
+        dop = np.empty(self.capacity, dtype=np.float32)
+        inten = np.empty(self.capacity, dtype=np.float32)
+        mask = np.empty(self.capacity, dtype=np.uint8)
+        stamp = np.zeros(1, dtype=np.float64)
+        idx = self._lib.rivbin_loader_next(self._h, xyz, dop, inten, mask, stamp)
+        if idx < 0:
+            raise StopIteration
+        return int(idx), float(stamp[0]), xyz, dop, inten, mask.astype(bool)
+
+    def close(self):
+        if self._h:
+            self._lib.rivbin_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
