@@ -59,11 +59,18 @@ def main():
 
     @jax.jit
     def chained(sx, sm, tx, tm, g):
+        # target covariances are estimated ONCE and cached across frames,
+        # exactly like the pipeline (the keyframe's PreparedCloud is reused
+        # until swapped, odometry.py); per-frame work = source covariance
+        # estimation + LM registration.
+        tgt = jax.vmap(lambda a, b: apdgicp.estimate_covariances(a, b, cfg))(tx, tm)
+
         def body(carry, _):
             eps = carry
-            res = jax.vmap(
-                lambda a, b, c, d, e: apdgicp.prepare_and_register(a, b, c, d, e, cfg)
-            )(sx + eps, sm, tx, tm, g)
+            src = jax.vmap(lambda a, b: apdgicp.estimate_covariances(a, b, cfg))(
+                sx + eps, sm
+            )
+            res = jax.vmap(lambda a, b, c: apdgicp.register(a, b, c, cfg))(src, tgt, g)
             # next round's input depends on this round's output: serialized
             return jnp.sum(res.error) * 1e-12 + eps + 1e-6, (res.converged, res.T)
 
