@@ -1,0 +1,145 @@
+"""Distributed global pose-graph optimization — edges sharded over the mesh.
+
+The BASELINE.json north-star capability (config #5): partition the graph's
+edges across devices; each device linearizes its own edge shard and computes
+partial gradient / Gauss-Newton matvec contributions, which are combined by
+`psum` over ICI inside the PCG iterations. Node states are replicated (poses
+are tiny — 6 floats/keyframe — the heavy O(edges) work is what shards).
+
+This mirrors the single-chip solver in loop/global_graph.py exactly
+(identical math, identical results up to float reduction order) so the two
+are cross-checked in tests on the virtual multi-device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.factors import robust
+from rivslam_tpu.loop import global_graph as gg
+
+
+def _pad_edges(ei, ej, Rm, pm, info, mask, is_loop, mult):
+    n = ei.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return ei, ej, Rm, pm, info, mask, is_loop
+    z3 = jnp.broadcast_to(jnp.eye(3, dtype=Rm.dtype), (pad, 3, 3))
+    return (
+        jnp.concatenate([ei, jnp.zeros(pad, ei.dtype)]),
+        jnp.concatenate([ej, jnp.zeros(pad, ej.dtype)]),
+        jnp.concatenate([Rm, z3]),
+        jnp.concatenate([pm, jnp.zeros((pad, 3), pm.dtype)]),
+        jnp.concatenate([info, jnp.broadcast_to(jnp.eye(6, dtype=info.dtype), (pad, 6, 6))]),
+        jnp.concatenate([mask, jnp.zeros(pad, bool)]),
+        jnp.concatenate([is_loop, jnp.zeros(pad, bool)]),
+    )
+
+
+def solve_pose_graph_sharded(
+    g: gg.PoseGraph,
+    mesh: Mesh,
+    axis: str = "model",
+    gn_iters: int = 10,
+    cg_iters: int = 64,
+    huber_delta: float = 1.0,
+):
+    """Distributed GN+PCG. Graph state replicated; edges sharded over `axis`."""
+    n_shard = mesh.shape[axis]
+    ei, ej, Rm, pm, info, mask, is_loop = _pad_edges(
+        *gg._gather_edges(g), mult=n_shard
+    )
+    K = g.R.shape[0]
+    dtype = g.p.dtype
+
+    edge_specs = (P(axis), P(axis), P(axis, None, None), P(axis, None),
+                  P(axis, None, None), P(axis), P(axis))
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()) + edge_specs + (P(),),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(R0, p0, ei_s, ej_s, Rm_s, pm_s, info_s, mask_s, is_loop_s, anchor_info):
+        def linearize(R, p):
+            Ri, pi = R[ei_s], p[ei_s]
+            Rj, pj = R[ej_s], p[ej_s]
+            r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(Ri, pi, Rj, pj, Rm_s, pm_s)
+            chi2_e = jnp.einsum("eij,ei,ej->e", info_s, r, r)
+            w = jnp.where(is_loop_s, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+            w = w * mask_s.astype(dtype)
+            W = info_s * w[:, None, None]
+            chi2 = jax.lax.psum(jnp.sum(chi2_e * w), axis)
+            return r, Ji, Jj, W, chi2
+
+        def grad_diag(R, p, r, Ji, Jj, W):
+            Wr = jnp.einsum("eij,ej->ei", W, r)
+            gi = jnp.einsum("eji,ej->ei", Ji, Wr)
+            gj = jnp.einsum("eji,ej->ei", Jj, Wr)
+            grad = jnp.zeros((K, 6), dtype=dtype).at[ei_s].add(gi).at[ej_s].add(gj)
+            Hii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
+            Hjj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
+            diag = jnp.zeros((K, 6, 6), dtype=dtype).at[ei_s].add(Hii).at[ej_s].add(Hjj)
+            grad = jax.lax.psum(grad, axis)  # combine edge shards over ICI
+            diag = jax.lax.psum(diag, axis)
+            # anchor terms once (replicated, added after the reduction)
+            diag = diag.at[0].add(anchor_info)
+            anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+            grad = grad.at[0].add(anchor_info @ anchor_r)
+            diag = diag + jnp.eye(6, dtype=dtype) * 1e-6
+            return grad, diag
+
+        def hvp(Ji, Jj, W, v):
+            vi = v[ei_s]
+            vj = v[ej_s]
+            Jv = jnp.einsum("eij,ej->ei", Ji, vi) + jnp.einsum("eij,ej->ei", Jj, vj)
+            WJv = jnp.einsum("eij,ej->ei", W, Jv)
+            out = (
+                jnp.zeros((K, 6), dtype=dtype)
+                .at[ei_s].add(jnp.einsum("eji,ej->ei", Ji, WJv))
+                .at[ej_s].add(jnp.einsum("eji,ej->ei", Jj, WJv))
+            )
+            out = jax.lax.psum(out, axis)
+            out = out.at[0].add(anchor_info @ v[0])
+            return out + 1e-6 * v
+
+        def gn_step(carry, _):
+            R, p = carry
+            r, Ji, Jj, W, chi2 = linearize(R, p)
+            grad, diag = grad_diag(R, p, r, Ji, Jj, W)
+            Minv = jnp.linalg.inv(diag)
+            precond = lambda x: jnp.einsum("kij,kj->ki", Minv, x)
+            b = -grad
+
+            def cg_body(state, _):
+                x, rr, z, pdir, rz = state
+                Ap = hvp(Ji, Jj, W, pdir)
+                alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-30)
+                x = x + alpha * pdir
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                return (x, rr, z, z + beta * pdir, rz_new), None
+
+            z0 = precond(b)
+            (x, *_), _ = jax.lax.scan(cg_body, (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0)), None, length=cg_iters)
+            return (R @ lie.so3_exp(x[:, :3]), p + x[:, 3:]), chi2
+
+        (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (R0, p0), None, length=gn_iters)
+        _, _, _, _, chi2_fin = linearize(R_fin, p_fin)
+        return R_fin, p_fin, chi2_fin
+
+    R_fin, p_fin, chi2 = run(
+        g.R, g.p, ei, ej, Rm, pm, info, mask, is_loop, g.anchor_info
+    )
+    return dataclasses.replace(g, R=R_fin, p=p_fin), chi2

@@ -55,3 +55,62 @@ def test_batched_register_data_parallel(scene):
     local = apdgicp.register(src, tgt, jnp.eye(4, dtype=jnp.float64), CFG)
     for i in range(B):
         np.testing.assert_allclose(np.asarray(res.T[i]), np.asarray(local.T), atol=1e-9)
+
+
+def test_sharded_pose_graph_matches_local():
+    """Distributed (edge-sharded, psum-reduced) pose-graph GN matches the
+    single-chip solver on a drifted loop problem."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_loop import test_global_graph_loop_closure_pulls_drift  # noqa
+    from rivslam_tpu.core import lie
+    from rivslam_tpu.loop import global_graph
+    from rivslam_tpu.dist import dist_graph
+
+    dtype = jnp.float64
+    K, L = 64, 8
+    g = global_graph.PoseGraph.create(K, L, dtype=dtype)
+    n = 40
+    rng = np.random.default_rng(0)
+    gt = [np.eye(4)]
+    for k in range(1, n):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0, 0, 2 * np.pi / n])))
+        T[0, 3] = 1.0
+        gt.append(gt[-1] @ T)
+    gt = np.stack(gt)
+    est = [np.eye(4)]
+    rels = [np.eye(4)]
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        rel = rel @ np.asarray(lie.se3_exp(jnp.asarray(rng.normal(size=6) * 0.01)))
+        rels.append(rel)
+        est.append(est[-1] @ rel)
+    est = np.stack(est)
+    g = dataclasses.replace(
+        g,
+        R=g.R.at[:n].set(jnp.asarray(est[:, :3, :3])),
+        p=g.p.at[:n].set(jnp.asarray(est[:, :3, 3])),
+        node_mask=g.node_mask.at[:n].set(True),
+        odom_rel_R=g.odom_rel_R.at[:n].set(jnp.asarray(np.stack(rels)[:, :3, :3])),
+        odom_rel_p=g.odom_rel_p.at[:n].set(jnp.asarray(np.stack(rels)[:, :3, 3])),
+        odom_info=g.odom_info.at[:n].set(jnp.eye(6, dtype=dtype) * 100.0),
+    )
+    true_rel = np.linalg.inv(gt[0]) @ gt[n - 1]
+    g = dataclasses.replace(
+        g,
+        loop_i=g.loop_i.at[0].set(0),
+        loop_j=g.loop_j.at[0].set(n - 1),
+        loop_rel_R=g.loop_rel_R.at[0].set(jnp.asarray(true_rel[:3, :3])),
+        loop_rel_p=g.loop_rel_p.at[0].set(jnp.asarray(true_rel[:3, 3])),
+        loop_info=g.loop_info.at[0].set(jnp.eye(6, dtype=dtype) * 400.0),
+        loop_mask=g.loop_mask.at[0].set(True),
+    )
+    g_local, chi2_local = global_graph.solve_pose_graph(g, gn_iters=6)
+    m = mesh_mod.make_mesh(1, 8)
+    g_dist, chi2_dist = dist_graph.solve_pose_graph_sharded(g, m, gn_iters=6)
+    np.testing.assert_allclose(
+        np.asarray(g_dist.p[:40]), np.asarray(g_local.p[:40]), atol=1e-6
+    )
+    np.testing.assert_allclose(float(chi2_dist), float(chi2_local), rtol=1e-6)
