@@ -65,11 +65,12 @@ def solve_pose_graph_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + edge_specs + (P(),),
+        in_specs=(P(), P()) + edge_specs + (P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    def run(R0, p0, ei_s, ej_s, Rm_s, pm_s, info_s, mask_s, is_loop_s, anchor_info):
+    def run(R0, p0, ei_s, ej_s, Rm_s, pm_s, info_s, mask_s, is_loop_s, anchor_info,
+            gps_xyz, gps_info, gps_mask):
         def linearize(R, p):
             Ri, pi = R[ei_s], p[ei_s]
             Rj, pj = R[ej_s], p[ej_s]
@@ -79,6 +80,8 @@ def solve_pose_graph_sharded(
             w = w * mask_s.astype(dtype)
             W = info_s * w[:, None, None]
             chi2 = jax.lax.psum(jnp.sum(chi2_e * w), axis)
+            gps_r = (p - gps_xyz) * gps_mask[:, None].astype(dtype)
+            chi2 = chi2 + jnp.sum(gps_info * gps_r * gps_r)
             return r, Ji, Jj, W, chi2
 
         def grad_diag(R, p, r, Ji, Jj, W):
@@ -95,6 +98,13 @@ def solve_pose_graph_sharded(
             diag = diag.at[0].add(anchor_info)
             anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
             grad = grad.at[0].add(anchor_info @ anchor_r)
+            w_gps = gps_info * gps_mask[:, None].astype(dtype)
+            grad = grad.at[:, 3:].add(w_gps * (p - gps_xyz))
+            diag = (
+                diag.at[:, 3, 3].add(w_gps[:, 0])
+                .at[:, 4, 4].add(w_gps[:, 1])
+                .at[:, 5, 5].add(w_gps[:, 2])
+            )
             diag = diag + jnp.eye(6, dtype=dtype) * 1e-6
             return grad, diag
 
@@ -110,6 +120,8 @@ def solve_pose_graph_sharded(
             )
             out = jax.lax.psum(out, axis)
             out = out.at[0].add(anchor_info @ v[0])
+            w_gps = gps_info * gps_mask[:, None].astype(dtype)
+            out = out.at[:, 3:].add(w_gps * v[:, 3:])
             return out + 1e-6 * v
 
         def gn_step(carry, _):
@@ -140,6 +152,7 @@ def solve_pose_graph_sharded(
         return R_fin, p_fin, chi2_fin
 
     R_fin, p_fin, chi2 = run(
-        g.R, g.p, ei, ej, Rm, pm, info, mask, is_loop, g.anchor_info
+        g.R, g.p, ei, ej, Rm, pm, info, mask, is_loop, g.anchor_info,
+        g.gps_xyz, g.gps_info, g.gps_mask,
     )
     return dataclasses.replace(g, R=R_fin, p=p_fin), chi2

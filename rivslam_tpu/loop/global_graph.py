@@ -48,6 +48,9 @@ class PoseGraph:
     loop_info: jax.Array  # [L,6,6]
     loop_mask: jax.Array  # [L]
     anchor_info: jax.Array  # [6,6] prior on node 0 (reference anchor_edge)
+    gps_xyz: jax.Array  # [K,3] GPS/UTM position priors (EdgeSE3PriorXYZ)
+    gps_info: jax.Array  # [K,3] diagonal information
+    gps_mask: jax.Array  # [K]
 
     @staticmethod
     def create(capacity: int, loop_capacity: int, dtype=jnp.float32) -> "PoseGraph":
@@ -71,6 +74,9 @@ class PoseGraph:
             anchor_info=jnp.diag(
                 jnp.asarray([1.0, 1.0, 1.0, 0.1, 0.1, 0.1], dtype=dtype)
             ),
+            gps_xyz=jnp.zeros((K, 3), dtype=dtype),
+            gps_info=jnp.ones((K, 3), dtype=dtype),
+            gps_mask=jnp.zeros(K, dtype=bool),
         )
 
 
@@ -144,6 +150,11 @@ def _build_rhs_and_diag(g: PoseGraph, ei, ej, r, Ji, Jj, W):
     diag = diag.at[0].add(g.anchor_info)
     anchor_r = jnp.concatenate([lie.so3_log(g.R[0]), g.p[0]])
     grad = grad.at[0].add(g.anchor_info @ anchor_r)
+    # GPS/UTM position priors (EdgeSE3PriorXYZ, unary on translation: the
+    # residual p - gps has Jacobian [0 | I] in the (theta, p) tangent)
+    w_gps = g.gps_info * g.gps_mask[:, None].astype(r.dtype)
+    grad = grad.at[:, 3:].add(w_gps * (g.p - g.gps_xyz))
+    diag = diag.at[:, 3, 3].add(w_gps[:, 0]).at[:, 4, 4].add(w_gps[:, 1]).at[:, 5, 5].add(w_gps[:, 2])
     diag = diag + jnp.eye(6, dtype=r.dtype) * 1e-6
     return grad, diag
 
@@ -163,6 +174,8 @@ def _hvp(g: PoseGraph, ei, ej, Ji, Jj, W, v):
         .add(jnp.einsum("eji,ej->ei", Jj, WJv))
     )
     out = out.at[0].add(g.anchor_info @ v[0])
+    w_gps = g.gps_info * g.gps_mask[:, None].astype(v.dtype)
+    out = out.at[:, 3:].add(w_gps * v[:, 3:])
     return out + 1e-6 * v
 
 
@@ -178,6 +191,8 @@ def solve_pose_graph(
     def gn_step(carry, _):
         gg = carry
         ei, ej, r, Ji, Jj, W, chi2 = linearize(gg, huber_delta)
+        gps_r = (gg.p - gg.gps_xyz) * gg.gps_mask[:, None].astype(gg.p.dtype)
+        chi2 = chi2 + jnp.sum(gg.gps_info * gps_r * gps_r)
         grad, diag = _build_rhs_and_diag(gg, ei, ej, r, Ji, Jj, W)
         Minv = jnp.linalg.inv(diag)
 
