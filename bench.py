@@ -63,14 +63,14 @@ def main():
         # exactly like the pipeline (the keyframe's PreparedCloud is reused
         # until swapped, odometry.py); per-frame work = source covariance
         # estimation + LM registration.
-        tgt = jax.vmap(lambda a, b: apdgicp.estimate_covariances(a, b, cfg))(tx, tm)
+        tgt = jax.vmap(lambda a, b: apdgicp.prepare(a, b, cfg))(tx, tm)
 
         def body(carry, _):
             eps = carry
-            src = jax.vmap(lambda a, b: apdgicp.estimate_covariances(a, b, cfg))(
-                sx + eps, sm
-            )
-            res = jax.vmap(lambda a, b, c: apdgicp.register(a, b, c, cfg))(src, tgt, g)
+            src = jax.vmap(lambda a, b: apdgicp.prepare(a, b, cfg))(sx + eps, sm)
+            res = jax.vmap(
+                lambda a, b, c: apdgicp.register_dispatch(a, b, c, cfg)
+            )(src, tgt, g)
             # next round's input depends on this round's output: serialized
             return jnp.sum(res.error) * 1e-12 + eps + 1e-6, (res.converged, res.T)
 

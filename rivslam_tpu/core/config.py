@@ -99,6 +99,10 @@ class RegistrationConfig:
     # through pcl::Registration::setTransformationEpsilon (lsq_registration.hpp:42)
     transformation_epsilon: float = 0.1
     regularization: str = "PLANE"  # PLANE | NONE | MIN_EIG | NORMALIZED_MIN_EIG | FROBENIUS
+    # TPU-layout-optimized implementation (frontend/apdgicp_fast.py):
+    # identical LM semantics, SoA component arithmetic, one-hot MXU gathers,
+    # approx-kNN covariance neighborhoods. Exact path kept for parity tests.
+    use_fast_path: bool = True
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
     dtype: str = "float32"

@@ -82,9 +82,11 @@ def estimate_covariances(
     if cfg.regularization == "NONE":
         cov_reg = cov
     elif cfg.regularization == "PLANE":
-        vals, vecs = _sym3_eigh(cov)
-        new_vals = jnp.asarray([1e-3, 1.0, 1.0], dtype=xyz.dtype)  # ascending
-        cov_reg = jnp.einsum("...ij,j,...kj->...ik", vecs, new_vals, vecs)
+        # closed-form: U diag(1,1,1e-3) U^T needs only the smallest
+        # eigenvector (ops/eig3.py) — batched eigh is ~100x slower on TPU
+        from rivslam_tpu.ops import eig3
+
+        cov_reg = eig3.plane_regularize(cov, 1e-3)
     elif cfg.regularization == "MIN_EIG":
         vals, vecs = _sym3_eigh(cov)
         new_vals = jnp.maximum(vals, 1e-3)
@@ -361,10 +363,30 @@ def register(
     )
 
 
+def prepare(xyz, mask, cfg: RegistrationConfig) -> PreparedCloud:
+    """Covariance estimation honoring cfg.use_fast_path."""
+    if cfg.use_fast_path and cfg.regularization == "PLANE":
+        from rivslam_tpu.frontend import apdgicp_fast
+
+        return apdgicp_fast.estimate_covariances_fast(xyz, mask, cfg)
+    return estimate_covariances(xyz, mask, cfg)
+
+
+def register_dispatch(
+    source: PreparedCloud, target: PreparedCloud, guess, cfg: RegistrationConfig
+) -> RegistrationResult:
+    """Registration honoring cfg.use_fast_path."""
+    if cfg.use_fast_path and cfg.method in ("FAST_APDGICP", "FAST_GICP"):
+        from rivslam_tpu.frontend import apdgicp_fast
+
+        return apdgicp_fast.register_fast(source, target, guess, cfg)
+    return register(source, target, guess, cfg)
+
+
 def prepare_and_register(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: RegistrationConfig
 ) -> RegistrationResult:
     """Convenience: covariance estimation + registration in one jittable call."""
-    source = estimate_covariances(src_xyz, src_mask, cfg)
-    target = estimate_covariances(tgt_xyz, tgt_mask, cfg)
-    return register(source, target, guess, cfg)
+    source = prepare(src_xyz, src_mask, cfg)
+    target = prepare(tgt_xyz, tgt_mask, cfg)
+    return register_dispatch(source, target, guess, cfg)

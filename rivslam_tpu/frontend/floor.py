@@ -63,8 +63,9 @@ def detect_floor(
         mean = (nb * w[..., None]).sum(-2) / wn
         cent = (nb - mean[:, None, :]) * w[..., None]
         cov = jnp.einsum("nki,nkj->nij", cent, cent) / wn[..., None]
-        _, vecs = jnp.linalg.eigh(cov)
-        normal = vecs[..., 0]  # smallest eigval
+        from rivslam_tpu.ops import eig3
+
+        normal = eig3.smallest_eigenvector_sym3(cov)
         vert = jnp.abs(normal[:, 2])
         m = m & (vert > math.cos(math.radians(cfg.normal_filter_thresh_deg)))
 

@@ -87,7 +87,7 @@ def step(
         guess = state.prev_trans @ egovel_cum
     else:
         guess = state.prev_trans
-    reg = apdgicp.register(source, state.target, guess, reg_cfg)
+    reg = apdgicp.register_dispatch(source, state.target, guess, reg_cfg)
 
     # non-convergence -> reuse previous transform (:476-481)
     trans = jnp.where(reg.converged, reg.T, state.prev_trans)

@@ -82,7 +82,7 @@ def _build_submap(
     world = jnp.einsum("kij,knj->kni", rel[:, :3, :3], kf_xyz) + rel[:, None, :3, 3]
     xyz = world.reshape(S * N, 3)
     mask = (kf_mask & kf_valid[:, None]).reshape(S * N)
-    return apdgicp.estimate_covariances(xyz, mask, reg_cfg)
+    return apdgicp.prepare(xyz, mask, reg_cfg)
 
 
 def step(
@@ -109,7 +109,7 @@ def step(
         guess = base.prev_trans @ eye4.at[:3, 3].set(egovel_trans)
     else:
         guess = base.prev_trans
-    reg_m = apdgicp.register(source, state.target, guess, reg_cfg)
+    reg_m = apdgicp.register_dispatch(source, state.target, guess, reg_cfg)
     trans_m = jnp.where(reg_m.converged, reg_m.T, state.prev_trans_s2m)
     odom_m = state.keyframe_pose_s2m @ trans_m
 

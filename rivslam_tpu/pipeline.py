@@ -78,7 +78,7 @@ class Engine:
                 cl = filters.statistical_outlier_removal(
                     cl, c.preprocess.statistical_mean_k, c.preprocess.statistical_stddev
                 )
-            prepared = apdgicp.estimate_covariances(cl.xyz, cl.mask, c.registration)
+            prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
             fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
             return cl, ego, prepared, fl
 

@@ -1,0 +1,80 @@
+"""SoA fast registration path vs the reference-faithful implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import RegistrationConfig
+from rivslam_tpu.frontend import apdgicp, apdgicp_fast
+from rivslam_tpu.io import synthetic
+
+
+@pytest.fixture(scope="module", params=["FAST_APDGICP", "FAST_GICP"])
+def scene(request):
+    rng = np.random.default_rng(42)
+    world = synthetic.make_world(rng, n_points=6000)
+    T0 = np.eye(4)
+    T0[:3, 3] = [0, 0, 2.0]
+    xi = np.array([0.01, 0.02, 0.05, 0.4, -0.25, 0.05])
+    T_rel = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    cfg = RegistrationConfig(method=request.param, transformation_epsilon=5e-4)
+    tgt = synthetic.observe(world, T0, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    src = synthetic.observe(world, T0 @ T_rel, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    s = apdgicp.estimate_covariances(src.xyz, src.mask, cfg)
+    t = apdgicp.estimate_covariances(tgt.xyz, tgt.mask, cfg)
+    return s, t, T_rel, cfg
+
+
+def test_fast_matches_reference(scene):
+    s, t, T_rel, cfg = scene
+    ref = apdgicp.register(s, t, jnp.eye(4, dtype=jnp.float64), cfg)
+    fast = apdgicp_fast.register_fast(s, t, jnp.eye(4, dtype=jnp.float64), cfg)
+    np.testing.assert_allclose(np.asarray(fast.T), np.asarray(ref.T), atol=1e-6)
+    assert int(fast.iterations) == int(ref.iterations)
+    assert int(fast.num_correspondences) == int(ref.num_correspondences)
+    np.testing.assert_allclose(float(fast.error), float(ref.error), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast.H), np.asarray(ref.H), rtol=1e-6, atol=1e-4)
+
+
+def test_fast_warm_guess(scene):
+    s, t, T_rel, cfg = scene
+    ref = apdgicp.register(s, t, jnp.asarray(T_rel), cfg)
+    fast = apdgicp_fast.register_fast(s, t, jnp.asarray(T_rel), cfg)
+    np.testing.assert_allclose(np.asarray(fast.T), np.asarray(ref.T), atol=1e-6)
+
+
+def test_fast_vmap(scene):
+    s, t, T_rel, cfg = scene
+    B = 3
+    bs = jax.tree.map(lambda x: jnp.stack([x] * B), s)
+    bt = jax.tree.map(lambda x: jnp.stack([x] * B), t)
+    g = jnp.stack([jnp.eye(4, dtype=jnp.float64)] * B)
+    res = jax.jit(jax.vmap(lambda a, b, c: apdgicp_fast.register_fast(a, b, c, cfg)))(bs, bt, g)
+    ref = apdgicp.register(s, t, jnp.eye(4, dtype=jnp.float64), cfg)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(res.T[i]), np.asarray(ref.T), atol=1e-6)
+
+
+def test_fast_covariance_estimation(scene):
+    """approx-kNN covariances are statistically equivalent to the exact path:
+    same masks, near-identical regularized covariances for most points."""
+    s, t, T_rel, cfg = scene
+    fast = apdgicp_fast.estimate_covariances_fast(s.xyz, s.mask, cfg)
+    exact = apdgicp.estimate_covariances(s.xyz, s.mask, cfg)
+    m = np.asarray(s.mask)
+    diff = np.abs(np.asarray(fast.cov) - np.asarray(exact.cov)).max(axis=(1, 2))[m]
+    # the disc normals agree for the vast majority of points (approx top-k
+    # may swap borderline neighbors)
+    assert (diff < 0.05).mean() > 0.9, (diff.mean(), (diff < 0.05).mean())
+
+
+def test_fast_end_to_end_with_fast_cov(scene):
+    s, t, T_rel, cfg = scene
+    sf = apdgicp_fast.estimate_covariances_fast(s.xyz, s.mask, cfg)
+    tf = apdgicp_fast.estimate_covariances_fast(t.xyz, t.mask, cfg)
+    res = apdgicp_fast.register_fast(sf, tf, jnp.eye(4, dtype=jnp.float64), cfg)
+    assert bool(res.converged)
+    delta = np.asarray(lie.se3_inverse(res.T)) @ T_rel
+    assert np.linalg.norm(delta[:3, 3]) < 0.25
