@@ -101,6 +101,38 @@ def _error_vgicp(T, src, vm, idx, corr, mah):
     return jnp.sum(jnp.where(corr, jnp.einsum("nkij,nki,nkj->nk", mah, e, e), 0.0))
 
 
+def register_ndt(
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    vm: VoxelMap,
+    guess: jax.Array,
+    cfg: RegistrationConfig,
+    mode: str = "P2D",
+    src_capacity: int = 2048,
+) -> apdgicp.RegistrationResult:
+    """NDT via Gaussian voxels — parity with fast_gicp's NDTCuda
+    (ndt/ndt_cuda.hpp, ndt_compute_derivatives.cu), which scores point/voxel
+    pairs by the Mahalanobis distance of the per-voxel normal distributions
+    (no exponential score):
+
+    - P2D: each source POINT against the target voxel distributions
+      (source covariance = 0),
+    - D2D: each source VOXEL distribution against the target's.
+    """
+    if mode == "P2D":
+        src = apdgicp.PreparedCloud(
+            xyz=src_xyz,
+            mask=src_mask,
+            cov=jnp.zeros(src_xyz.shape[:-1] + (3, 3), dtype=src_xyz.dtype),
+        )
+    elif mode == "D2D":
+        svm = build_voxel_map(src_xyz, src_mask, cfg, capacity=src_capacity)
+        src = apdgicp.PreparedCloud(xyz=svm.mean, mask=svm.valid, cov=svm.cov)
+    else:
+        raise ValueError(mode)
+    return register_vgicp(src, vm, guess, cfg)
+
+
 def register_vgicp(
     src: apdgicp.PreparedCloud,
     vm: VoxelMap,

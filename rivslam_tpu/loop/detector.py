@@ -53,8 +53,11 @@ def prefilter_candidates(
     new_idx: jax.Array,  # [] index of the query keyframe
     last_loop_accum: jax.Array,  # [] accum distance at the last loop edge
     cfg: LoopConfig,
+    altitude: jax.Array | None = None,  # [K] barometer altitude per keyframe
+    altitude_valid: jax.Array | None = None,  # [K]
 ) -> jax.Array:
-    """find_candidates (loop_detector.cpp:139-189) as one masked pass."""
+    """find_candidates (loop_detector.cpp:139-189) as one masked pass,
+    including the optional barometer altitude gate (:157-161)."""
     new_accum = accum_dist[new_idx]
     dist_btn_last = new_accum - last_loop_accum
     interval_ok = dist_btn_last >= cfg.min_loop_interval_dist
@@ -75,7 +78,14 @@ def prefilter_candidates(
     aa = (x / rad_xy) ** 2 + (y / rad_xy) ** 2
     ellipse_ok = (aa_lle <= 1.0) & (aa <= 1.0)
 
-    return node_mask & interval_ok & accum_ok & yaw_ok & ellipse_ok
+    ok = node_mask & interval_ok & accum_ok & yaw_ok & ellipse_ok
+    if altitude is not None:
+        baro_ok = jnp.abs(altitude - altitude[new_idx]) <= cfg.max_baro_difference
+        # only gate pairs where BOTH have barometer data (reference checks
+        # is_initialized on the candidate)
+        both = altitude_valid & altitude_valid[new_idx]
+        ok = ok & (baro_ok | ~both)
+    return ok
 
 
 def verify_loop(

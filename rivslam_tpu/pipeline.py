@@ -139,6 +139,7 @@ class Engine:
 
         # ---- odometry
         with self.timers.time("odometry"):
+            status = None
             if st.odo is None:
                 st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
                 odom_pose = jnp.eye(4, dtype=self.dtype)
@@ -149,6 +150,7 @@ class Engine:
                 odom_pose = oout.odom
                 is_kf = bool(oout.is_keyframe)
                 reg_ok = bool(oout.reg.converged)
+                status = self._scan_matching_status(oout)
 
         # ---- backend window
         with self.timers.time("backend"):
@@ -191,7 +193,49 @@ class Engine:
             "chi2": float(bout.chi2),
             "loop_found": loop_found,
             "registration_ok": reg_ok,
+            # ScanMatchingStatus parity (msg/ScanMatchingStatus.msg:
+            # convergence, matching_error, inlier_fraction, relative_pose)
+            "status": status,
         }
+
+    @staticmethod
+    def _scan_matching_status(oout) -> dict:
+        n = float(np.asarray(oout.reg.num_correspondences))
+        return {
+            "has_converged": bool(oout.reg.converged),
+            "matching_error": float(oout.reg.error),
+            "inlier_fraction": float(oout.reg.fitness),
+            "relative_pose": np.asarray(oout.trans_delta),
+            "num_correspondences": int(n),
+        }
+
+    def predict_highrate(self, imu_dts, imu_acc, imu_gyr, imu_mask):
+        """IMU-rate pose prediction from the last optimized state — the
+        reference's imu_callback -> preinteg_predict -> `imuPre/odometry`
+        publisher (radar_graph_slam_nodelet.cpp:589-633)."""
+        from rivslam_tpu.core.navstate import NavState
+        from rivslam_tpu.factors import preintegration as pre
+
+        st = self.state
+        if st.backend is None:
+            return None
+        last = jax.tree.map(lambda a: a[-1], st.backend.nav)
+        p_int = pre.preintegrate(
+            jnp.asarray(imu_dts, self.dtype),
+            jnp.asarray(imu_acc, self.dtype),
+            jnp.asarray(imu_gyr, self.dtype),
+            jnp.asarray(imu_mask),
+            last.bg, last.ba,
+            self.cfg.imu.gyr_noise, self.cfg.imu.acc_noise,
+        )
+        nav = pre.predict(
+            NavState(
+                t=st.backend.stamps[-1], R=last.R, p=last.p, v=last.v,
+                bg=last.bg, ba=last.ba,
+            ),
+            p_int, self.cfg.imu.gravity,
+        )
+        return np.asarray(lie.se3_matrix(nav.R, nav.p))
 
     # ------------------------------------------------------------------
     def _on_keyframe(self, cl: RadarCloud, odom_pose, stamp: float) -> bool:

@@ -66,3 +66,25 @@ def test_replay_driver():
     assert all(np.isfinite(o["pose"]).all() for o in outs)
     ts, est = eng.trajectory()
     assert len(est) == seq.num_frames
+
+
+def test_status_and_highrate_prediction():
+    seq, poses = make_sequence()
+    cfg = EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False,
+        )
+    )
+    eng = pipeline.Engine(cfg, dtype=jnp.float64)
+    outs = datasets.replay(eng, seq, capacity=256, imu_capacity=32)
+    # ScanMatchingStatus fields present from frame 1 on
+    assert outs[0]["status"] is None
+    st = outs[-1]["status"]
+    assert set(st) >= {"has_converged", "matching_error", "inlier_fraction",
+                       "relative_pose", "num_correspondences"}
+    # IMU-rate prediction produces a finite pose
+    K = 32
+    T = eng.predict_highrate(np.full(K, 0.005), np.tile([0, 0, 9.80511], (K, 1)),
+                             np.zeros((K, 3)), np.ones(K, dtype=bool))
+    assert T is not None and np.isfinite(T).all()

@@ -54,3 +54,15 @@ def test_vgicp_exact_on_identity(scene):
     res = vgicp.register_vgicp(s, vm, jnp.eye(4, dtype=jnp.float64), CFG)
     # registering the map's own source cloud stays near identity
     assert np.linalg.norm(np.asarray(res.T)[:3, 3]) < 0.2
+
+
+@pytest.mark.parametrize("mode", ["P2D", "D2D"])
+def test_ndt_alignment(scene, mode):
+    src, tgt, T_rel = scene
+    vm = vgicp.build_voxel_map(tgt.xyz, tgt.mask, CFG, capacity=2048)
+    res = vgicp.register_ndt(
+        src.xyz, src.mask, vm, jnp.eye(4, dtype=jnp.float64), CFG, mode=mode
+    )
+    assert bool(res.converged)
+    delta = np.asarray(lie.se3_inverse(res.T)) @ T_rel
+    assert np.linalg.norm(delta[:3, 3]) < 0.6, np.linalg.norm(delta[:3, 3])
