@@ -16,7 +16,6 @@ H = J^T M J with J = [skew(p) | -I] uses:
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import jax

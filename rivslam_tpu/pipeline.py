@@ -12,8 +12,6 @@ for-loop over `process_frame`.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
