@@ -165,11 +165,39 @@ def residual_vector(
     return jnp.concatenate(flat), weights_out
 
 
+def _schur_solve(H, g, lam, W, dtype):
+    """Damped solve via Schur elimination of the velocity/bias blocks.
+
+    Tangent order is [W, 15] flattened with per-frame layout
+    (theta 3, p 3 | v 3, bg 3, ba 3): eliminate the 9*W "motion" dims, solve
+    the 6*W pose system, back-substitute — the reference's
+    pose/landmark-style sparse reduction (BASELINE north star) expressed
+    densely on the window. Identical solution to the full damped solve.
+    """
+    idx = jnp.arange(W * 15).reshape(W, 15)
+    p_idx = idx[:, :6].reshape(-1)
+    r_idx = idx[:, 6:].reshape(-1)
+    A = H + lam * jnp.eye(W * 15, dtype=dtype)
+    App = A[jnp.ix_(p_idx, p_idx)]
+    Apr = A[jnp.ix_(p_idx, r_idx)]
+    Arr = A[jnp.ix_(r_idx, r_idx)]
+    gp = g[p_idx]
+    gr = g[r_idx]
+    Arr_inv_gr = jnp.linalg.solve(Arr, gr[:, None])[:, 0]
+    Arr_inv_Arp = jnp.linalg.solve(Arr, Apr.T)
+    S = App - Apr @ Arr_inv_Arp
+    dp = jnp.linalg.solve(S, -(gp - Apr @ Arr_inv_gr)[:, None])[:, 0]
+    dr = -Arr_inv_gr - Arr_inv_Arp @ dp
+    d = jnp.zeros(W * 15, dtype=dtype).at[p_idx].set(dp).at[r_idx].set(dr)
+    return d
+
+
 def solve_window(
     x0: WindowState,
     f: WindowFactors,
     cfg: BackendConfig,
     bias_info: tuple[float, float],
+    use_schur: bool = False,
 ) -> tuple[WindowState, jax.Array, jax.Array]:
     """LM to convergence (bounded iterations). Returns (state, chi2, iters)."""
     W = x0.window
@@ -209,8 +237,11 @@ def solve_window(
 
         def inner_body(ic):
             x_i, lam_i, nu, j, idone, success = ic
-            A = H + lam_i * jnp.eye(dim, dtype=dtype)
-            d = jnp.linalg.solve(A, -g)
+            if use_schur:
+                d = _schur_solve(H, g, lam_i, W, dtype)
+            else:
+                A = H + lam_i * jnp.eye(dim, dtype=dtype)
+                d = jnp.linalg.solve(A, -g)
             x_new = retract(x, d.reshape(W, 15))
             y1 = chi2_of(x_new, kw)
             denom = jnp.dot(d, lam_i * d - g)

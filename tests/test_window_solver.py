@@ -174,3 +174,14 @@ def test_chi2_decreases():
     r0, _ = win.residual_vector(x0, f, CFG, BIAS_INFO)
     x_fin, chi2, _ = win.solve_window(x0, f, CFG, BIAS_INFO)
     assert float(chi2) < float(jnp.sum(r0 * r0))
+
+
+def test_schur_solve_matches_dense():
+    """Schur elimination of velocity/bias blocks gives the same LM solution
+    as the full dense solve."""
+    x0, f, truth = build_problem()
+    x_dense, chi2_d, _ = win.solve_window(x0, f, CFG, BIAS_INFO)
+    x_schur, chi2_s, _ = win.solve_window(x0, f, CFG, BIAS_INFO, use_schur=True)
+    np.testing.assert_allclose(np.asarray(x_schur.p), np.asarray(x_dense.p), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_schur.v), np.asarray(x_dense.v), atol=1e-8)
+    np.testing.assert_allclose(float(chi2_s), float(chi2_d), rtol=1e-8)
