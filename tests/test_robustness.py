@@ -1,0 +1,136 @@
+"""Robustness tests from SURVEY.md §7 'hard parts': capacity sweeps (wrong
+capacity silently degrades), f32 end-to-end (the TPU runtime dtype), and
+pose-graph solve at full keyframe capacity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu import pipeline
+from rivslam_tpu.core import lie
+from rivslam_tpu.core.config import (
+    EngineConfig, PreprocessConfig, RegistrationConfig,
+)
+from rivslam_tpu.frontend import apdgicp
+from rivslam_tpu.io import synthetic
+from rivslam_tpu.loop import global_graph
+
+
+def test_registration_capacity_sweep():
+    """Accuracy degrades gracefully (not catastrophically) as capacity
+    truncates the scan; and padding far beyond the point count is harmless."""
+    rng = np.random.default_rng(3)
+    world = synthetic.make_world(rng, n_points=8000)
+    T0 = np.eye(4); T0[:3, 3] = [0, 0, 2.0]
+    T1 = T0.copy(); T1[:3, 3] += [0.3, -0.2, 0.0]
+    cfg = RegistrationConfig(method="FAST_GICP", transformation_epsilon=5e-4)
+    errs = {}
+    for cap in [128, 256, 512, 1024]:
+        tgt = synthetic.observe(world, T0, rng, capacity=cap, noise=0.01, dtype=jnp.float64)
+        src = synthetic.observe(world, T1, rng, capacity=cap, noise=0.01, dtype=jnp.float64)
+        res = apdgicp.prepare_and_register(
+            src.xyz, src.mask, tgt.xyz, tgt.mask, jnp.eye(4, dtype=jnp.float64), cfg
+        )
+        rel = np.linalg.inv(T0) @ T1
+        errs[cap] = float(np.linalg.norm(np.asarray(res.T)[:3, 3] - rel[:3, 3]))
+    # denser is at least as good as very sparse; nothing explodes
+    assert errs[1024] <= errs[128] + 0.1, errs
+    assert all(e < 1.0 for e in errs.values()), errs
+    # capacity >> points: masked padding must not change the answer
+    tgt = synthetic.observe(world, T0, rng, capacity=256, noise=0.01, dtype=jnp.float64)
+    src = synthetic.observe(world, T1, rng, capacity=256, noise=0.01, dtype=jnp.float64)
+    r1 = apdgicp.prepare_and_register(
+        src.xyz, src.mask, tgt.xyz, tgt.mask, jnp.eye(4, dtype=jnp.float64), cfg
+    )
+    pad = lambda a, v: jnp.concatenate([a, jnp.full((256,) + a.shape[1:], v, a.dtype)])
+    r2 = apdgicp.prepare_and_register(
+        pad(src.xyz, 0.0), pad(src.mask, False),
+        pad(tgt.xyz, 0.0), pad(tgt.mask, False),
+        jnp.eye(4, dtype=jnp.float64), cfg,
+    )
+    np.testing.assert_allclose(np.asarray(r2.T), np.asarray(r1.T), atol=1e-6)
+
+
+def test_engine_f32_smoke():
+    """The production dtype end-to-end: finite, tracking, no NaNs."""
+    rng = np.random.default_rng(5)
+    world = synthetic.make_world(rng, n_points=8000)
+    times, poses, vels = synthetic.circular_trajectory(8, radius=10.0, dt=0.25, omega=0.3)
+    from rivslam_tpu.core.config import OdometryConfig
+
+    cfg = EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False,
+        ),
+        odometry=OdometryConfig(use_ego_vel=True),
+        registration=RegistrationConfig(method="FAST_GICP"),
+    )
+    eng = pipeline.Engine(cfg, dtype=jnp.float32)
+    K = 32
+    T0 = poses[0]
+    for i in range(8):
+        cloud = synthetic.observe(world, poses[i], rng, capacity=640, noise=0.01,
+                                  sensor_vel_world=vels[i], dtype=jnp.float32)
+        d, a, g = synthetic.circular_imu_samples(times[i] - 0.25, times[i], rate=50.0,
+                                                 radius=10.0, omega=0.3)
+        k = min(len(d), K)
+        dts = np.zeros(K); acc = np.zeros((K, 3)); gyr = np.zeros((K, 3)); m = np.zeros(K, bool)
+        dts[:k], acc[:k], gyr[:k], m[:k] = d[:k], a[:k], g[:k], i > 0
+        out = eng.process_frame(cloud, times[i], dts, acc, gyr, m)
+        assert np.isfinite(out["pose"]).all()
+        gtp = (np.linalg.inv(T0) @ poses[i])[:3, 3]
+        assert np.linalg.norm(out["pose"][:3, 3] - gtp) < 2.0
+
+
+def test_pose_graph_full_capacity():
+    """PCG solve at a large keyframe count stays finite and reduces chi2."""
+    dtype = jnp.float32
+    K, L, n = 1024, 32, 1000
+    g = global_graph.PoseGraph.create(K, L, dtype=dtype)
+    rng = np.random.default_rng(0)
+    # long noisy chain with one loop edge
+    gt = [np.eye(4)]
+    for k in range(1, n):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0, 0, 2 * np.pi / n])))
+        T[0, 3] = 1.0
+        gt.append(gt[-1] @ T)
+    gt = np.stack(gt)
+    est = [np.eye(4)]
+    rels = [np.eye(4)]
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        rel = rel @ np.asarray(lie.se3_exp(jnp.asarray(rng.normal(size=6) * 0.005)))
+        rels.append(rel)
+        est.append(est[-1] @ rel)
+    est = np.stack(est).astype(np.float32)
+    rels = np.stack(rels).astype(np.float32)
+    g = dataclasses.replace(
+        g,
+        R=g.R.at[:n].set(jnp.asarray(est[:, :3, :3])),
+        p=g.p.at[:n].set(jnp.asarray(est[:, :3, 3])),
+        node_mask=g.node_mask.at[:n].set(True),
+        odom_rel_R=g.odom_rel_R.at[:n].set(jnp.asarray(rels[:, :3, :3])),
+        odom_rel_p=g.odom_rel_p.at[:n].set(jnp.asarray(rels[:, :3, 3])),
+        odom_info=g.odom_info.at[:n].set(jnp.eye(6, dtype=dtype) * 100.0),
+    )
+    true_rel = (np.linalg.inv(gt[0]) @ gt[n - 1]).astype(np.float32)
+    g = dataclasses.replace(
+        g,
+        loop_i=g.loop_i.at[0].set(0),
+        loop_j=g.loop_j.at[0].set(n - 1),
+        loop_rel_R=g.loop_rel_R.at[0].set(jnp.asarray(true_rel[:3, :3])),
+        loop_rel_p=g.loop_rel_p.at[0].set(jnp.asarray(true_rel[:3, 3])),
+        loop_info=g.loop_info.at[0].set(jnp.eye(6, dtype=dtype) * 400.0),
+        loop_mask=g.loop_mask.at[0].set(True),
+    )
+    _, _, _, _, _, _, chi2_0 = global_graph.linearize(g)
+    g_opt, chi2 = jax.jit(lambda x: global_graph.solve_pose_graph(x, gn_iters=6))(g)
+    assert np.isfinite(np.asarray(g_opt.p)).all()
+    assert float(chi2) < float(chi2_0)
+    end_err0 = np.linalg.norm(est[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    end_err1 = np.linalg.norm(np.asarray(g_opt.p[n - 1]) - gt[n - 1][:3, 3])
+    assert end_err1 < end_err0
