@@ -1,0 +1,135 @@
+"""Command-line entry point — the roslaunch/bag_player replacement.
+
+    python -m rivslam_tpu --seq seq.npz --out traj.txt [--map map.pcd]
+        [--ckpt dir] [--resume dir] [--capacity 1024] [--f64]
+
+Replays a radar sequence (io/datasets.RadarSequence .npz, or a .rivbin
+native container) through the full engine, writes the TUM trajectory
+(rpg_trajectory_evaluation input), optionally the aggregated map PCD and a
+checkpoint, and prints the per-stage timing table the reference exposes via
+`/command "time"`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rivslam_tpu")
+    ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
+    ap.add_argument("--out", required=True, help="output TUM trajectory file")
+    ap.add_argument("--map", default=None, help="optional output map PCD")
+    ap.add_argument("--ckpt", default=None, help="optional checkpoint dir to dump")
+    ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--imu-capacity", type=int, default=64)
+    ap.add_argument("--f64", action="store_true", help="run in float64 (CPU debugging)")
+    ap.add_argument("--method", default=None, help="override registration method")
+    ap.add_argument("--eval-gt", default=None, help="TUM ground truth for ATE report")
+    args = ap.parse_args(argv)
+
+    if os.environ.get("RIVSLAM_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rivslam_tpu import pipeline
+    from rivslam_tpu.core.config import EngineConfig, RegistrationConfig
+    from rivslam_tpu.io import checkpoint, datasets, tum
+
+    cfg = EngineConfig()
+    if args.method:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, registration=dataclasses.replace(cfg.registration, method=args.method)
+        )
+    eng = pipeline.Engine(cfg, dtype=jnp.float64 if args.f64 else jnp.float32)
+    if args.resume:
+        checkpoint.load(eng, args.resume)
+
+    if args.seq.endswith(".rivbin"):
+        from rivslam_tpu.runtime import native
+
+        ns = native.NativeSequence(args.seq)
+        loader = native.PrefetchLoader(ns, capacity=args.capacity)
+        from rivslam_tpu.core.pointcloud import RadarCloud
+
+        prev_t = None
+        for idx, stamp, xyz, dop, inten, mask in loader:
+            cloud = RadarCloud(
+                xyz=jnp.asarray(xyz, eng.dtype),
+                doppler=jnp.asarray(dop, eng.dtype),
+                intensity=jnp.asarray(inten, eng.dtype),
+                mask=jnp.asarray(mask),
+            )
+            t0 = prev_t if prev_t is not None else stamp - 0.1
+            k, stamps, acc, gyr = ns.imu_between(t0, stamp, args.imu_capacity)
+            dts = np.zeros(args.imu_capacity)
+            if k:
+                dts[:k] = np.diff(np.concatenate([[t0], stamps[:k]])).clip(1e-4, 0.05)
+            m = np.zeros(args.imu_capacity, dtype=bool)
+            m[:k] = True
+            eng.process_frame(cloud, stamp, dts, acc, gyr, m)
+            prev_t = stamp
+            if idx % 50 == 0:
+                print(f"frame {idx}/{ns.num_frames}", file=sys.stderr)
+        eng.finalize()
+    else:
+        seq = datasets.RadarSequence.load(args.seq)
+        datasets.replay(
+            eng, seq, capacity=args.capacity, imu_capacity=args.imu_capacity,
+            progress=lambda i, n: (
+                print(f"frame {i}/{n}", file=sys.stderr) if i % 50 == 0 else None
+            ),
+        )
+
+    ts, poses = eng.trajectory()
+    tum.save_tum(args.out, ts, poses)
+    print(f"wrote {len(ts)} poses to {args.out}")
+
+    if args.map:
+        import jax.numpy as jnp2
+
+        from rivslam_tpu.backend import map as map_mod
+
+        st = eng.state
+        if st.kf_clouds:
+            kf_xyz = jnp2.stack([x for x, _ in st.kf_clouds])
+            kf_mask = jnp2.stack([m for _, m in st.kf_clouds])
+            kf_poses = jnp2.asarray(eng.optimized_keyframe_poses())
+            map_xyz, valid = map_mod.assemble_map(kf_xyz, kf_mask, kf_poses)
+            pts = np.asarray(map_xyz)[np.asarray(valid)]
+            map_mod.save_map_pcd(args.map, pts)
+            print(f"wrote {len(pts)} map points to {args.map}")
+
+    if args.ckpt:
+        checkpoint.dump(eng, args.ckpt)
+        print(f"checkpoint -> {args.ckpt}")
+
+    if args.eval_gt:
+        from rivslam_tpu.eval import ate as ate_mod
+
+        gt_ts, gt_poses = tum.load_tum(args.eval_gt)
+        # associate by stamp
+        from rivslam_tpu.tools import associate_by_stamp
+
+        pairs = associate_by_stamp(ts, gt_ts, max_dt=0.05)
+        if len(pairs) >= 3:
+            est_p = np.stack([poses[i][:3, 3] for i, _ in pairs])
+            gt_p = np.stack([gt_poses[j][:3, 3] for _, j in pairs])
+            stats = ate_mod.ate(est_p, gt_p)
+            print("ATE:", stats)
+
+    print(eng.timers.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -74,6 +74,16 @@ def z_filter(cloud: RadarCloud, z_min: float) -> RadarCloud:
     return cloud.and_mask(cloud.xyz[..., 2] > z_min)
 
 
+def distance_histogram(cloud: RadarCloud, max_dist: int = 100) -> jax.Array:
+    """Per-meter point-count histogram (preprocessing_nodelet.cpp:818-828) —
+    the density diagnostic used to pick fixed capacities."""
+    d = jnp.linalg.norm(cloud.xyz, axis=-1)
+    bins = jnp.clip(jnp.floor(d).astype(jnp.int32), 0, max_dist)
+    return jnp.zeros(max_dist + 1, dtype=jnp.int32).at[bins].add(
+        cloud.mask.astype(jnp.int32)
+    )[:max_dist]
+
+
 def spherical_to_cartesian(r, azimuth, elevation):
     """Radar polar target -> xyz, matching the reference ingest convention
     (preprocessing_nodelet.cpp:333-335: elevation measured from +z axis is

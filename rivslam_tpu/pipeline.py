@@ -61,7 +61,10 @@ class Engine:
             cl = filters.nan_filter(cloud)
             cl = filters.power_filter(cl, c.preprocess.power_threshold)
             ego = reve.estimate_ego_velocity(cl, c.reve, key)
-            # dynamic-object removal: drop REVE outliers (preprocessing:766-774)
+            # dynamic objects = radius-filtered RANSAC outliers
+            # (preprocessing_nodelet.cpp:766-774); also removed from the
+            # static cloud when enabled
+            dynamic_mask = cl.mask & ~ego.inlier_mask & ego.success
             if c.preprocess.enable_dynamic_object_removal:
                 cl = cl.and_mask(ego.inlier_mask | ~ego.success)
             if c.preprocess.enable_deskew:
@@ -78,7 +81,7 @@ class Engine:
                 )
             prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
             fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
-            return cl, ego, prepared, fl
+            return cl, ego, prepared, fl, dynamic_mask
 
         @jax.jit
         def _odometry(odo_state, prepared, ego_v, t):
@@ -133,7 +136,7 @@ class Engine:
             dtype=self.dtype,
         )
         with self.timers.time("preprocess"):
-            cl, ego, prepared, fl = self._preprocess(cloud, ang_vel, k1)
+            cl, ego, prepared, fl, dynamic_mask = self._preprocess(cloud, ang_vel, k1)
 
         # ---- odometry
         with self.timers.time("odometry"):
@@ -191,6 +194,7 @@ class Engine:
             "chi2": float(bout.chi2),
             "loop_found": loop_found,
             "registration_ok": reg_ok,
+            "dynamic_points": np.asarray(cloud.xyz)[np.asarray(dynamic_mask)],
             # ScanMatchingStatus parity (msg/ScanMatchingStatus.msg:
             # convergence, matching_error, inlier_fraction, relative_pose)
             "status": status,
