@@ -174,11 +174,12 @@ def convert_rosbag(
     `rosbag` package (run on a ROS host; this image has no ROS)."""
     try:
         import rosbag  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "rosbag not available in this environment; run the conversion on "
-            "a ROS host, then load the .npz here"
-        ) from e
+    except ImportError:
+        # pure-python fallback reader (io/rosbag1.py) — no ROS needed
+        from rivslam_tpu.io import rosbag1
+
+        rosbag1.convert_bag(bag_path, out_path, radar_topic, imu_topic)
+        return
     frames, imu_t, imu_a, imu_g = [], [], [], []
     with rosbag.Bag(bag_path) as bag:  # pragma: no cover
         for topic, msg, t in bag.read_messages(topics=[radar_topic, imu_topic]):
