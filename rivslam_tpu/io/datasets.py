@@ -12,9 +12,10 @@ Capability parity with the reference's ingest + replay tooling:
 
 The on-disk container is a single .npz ("rivseq") holding ragged per-frame
 target arrays (CSR offsets), the IMU stream, and optional ground truth —
-the rosbag replacement. Conversion FROM rosbag runs wherever `rosbag` is
-importable (not in this image) via `convert_rosbag`; the binary mmap-able
-variant lives in the C++ runtime (rivslam_tpu/runtime).
+the rosbag replacement. `convert_rosbag` converts from ROS1 bags directly —
+via the `rosbag` package when present, else the bundled pure-python reader
+(io/rosbag1.py); the binary mmap-able variant lives in the C++ runtime
+(rivslam_tpu/runtime).
 """
 
 from __future__ import annotations
