@@ -26,8 +26,8 @@ import time
 import numpy as np
 
 BASELINE_FPS = 33.0
-BATCH = 32
-ROUNDS = 8
+BATCH = 64
+ROUNDS = 4
 CAPACITY = 1024
 
 
