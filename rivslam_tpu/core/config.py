@@ -33,6 +33,8 @@ class PreprocessConfig:
     radius_min_neighbors: int = 1
     statistical_mean_k: int = 30
     statistical_stddev: float = 1.2
+    bilateral_sigma_s: float = 5.0  # launch:66
+    bilateral_sigma_r: float = 0.03  # launch:67
     # power filter (launch:69)
     power_threshold: float = 0.0
     enable_dynamic_object_removal: bool = True

@@ -69,6 +69,27 @@ def statistical_outlier_removal(cloud: RadarCloud, mean_k: int, stddev_mult: flo
     return cloud.and_mask(mean_d <= thresh)
 
 
+def bilateral_filter(cloud: RadarCloud, sigma_s: float, sigma_r: float) -> RadarCloud:
+    """pcl::BilateralFilter semantics (launch BILATERAL option, sigma_s=5,
+    sigma_r=0.03): smooth each point's INTENSITY by a spatial x range
+    (intensity-difference) Gaussian over its neighborhood. Geometry is
+    untouched. One masked [N, N] pass instead of per-point kd-tree queries."""
+    from rivslam_tpu.core.pointcloud import masked_xyz
+
+    xyz = masked_xyz(cloud)
+    d2 = knn.pairwise_sqdist(xyz, xyz)
+    w_s = jnp.exp(-d2 / (2.0 * sigma_s * sigma_s))
+    di = cloud.intensity[..., :, None] - cloud.intensity[..., None, :]
+    w_r = jnp.exp(-(di * di) / (2.0 * sigma_r * sigma_r))
+    w = w_s * w_r * cloud.mask[..., None, :]
+    num = jnp.einsum("...nm,...m->...n", w, cloud.intensity)
+    den = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    smoothed = num / den
+    return cloud.replace(
+        intensity=jnp.where(cloud.mask, smoothed, cloud.intensity)
+    )
+
+
 def z_filter(cloud: RadarCloud, z_min: float) -> RadarCloud:
     """Under-floor removal (preprocessing_nodelet.cpp underfloor_filter)."""
     return cloud.and_mask(cloud.xyz[..., 2] > z_min)

@@ -79,6 +79,10 @@ class Engine:
                 cl = filters.statistical_outlier_removal(
                     cl, c.preprocess.statistical_mean_k, c.preprocess.statistical_stddev
                 )
+            elif c.preprocess.outlier_removal_method == "BILATERAL":
+                cl = filters.bilateral_filter(
+                    cl, c.preprocess.bilateral_sigma_s, c.preprocess.bilateral_sigma_r
+                )
             prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
             fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
             return cl, ego, prepared, fl, dynamic_mask

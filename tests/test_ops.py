@@ -148,3 +148,21 @@ def test_filters_jit_compose(rng):
 
     out = pipeline(cloud)
     assert int(out.count()) <= int(cloud.count())
+
+
+def test_bilateral_filter(rng):
+    # two spatial clusters with distinct intensities: smoothing stays local
+    a = rng.normal(size=(40, 3)) * 0.5
+    b = rng.normal(size=(40, 3)) * 0.5 + 50.0
+    pts = np.concatenate([a, b])
+    inten = np.concatenate([np.full(40, 10.0), np.full(40, 20.0)])
+    inten += rng.normal(size=80) * 0.01
+    cloud = RadarCloud.from_numpy(pts, 96, intensity=inten, dtype=jnp.float64)
+    out = filters.bilateral_filter(cloud, sigma_s=5.0, sigma_r=5.0)
+    oi = np.asarray(out.intensity)
+    # intensities smoothed toward each cluster's mean, clusters stay apart
+    assert abs(oi[:40].mean() - 10.0) < 0.1
+    assert abs(oi[40:80].mean() - 20.0) < 0.1
+    assert oi[:40].std() < inten[:40].std()
+    # geometry untouched
+    np.testing.assert_allclose(np.asarray(out.xyz), np.asarray(cloud.xyz))
