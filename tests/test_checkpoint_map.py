@@ -99,3 +99,23 @@ def test_map_generation(tmp_path):
     map_mod.save_map_pcd(p, pts)
     back = map_mod.load_pcd(p)
     np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_viz_export(tmp_path):
+    from rivslam_tpu.eval import viz
+
+    eng, cfg = small_session()
+    prefix = str(tmp_path / "session")
+    written = viz.export_session(eng, prefix)
+    assert "trajectory" in written and os.path.exists(written["trajectory"])
+    assert "keyframes" in written and "map" in written
+    with open(written["graph"]) as f:
+        import json
+
+        g = json.load(f)
+    assert g["num_keyframes"] == eng.state.kf_count
+    assert len(g["odometry_edges"]) == eng.state.kf_count - 1
+    # ply parses: first data row has 6 columns (xyz + rgb)
+    lines = open(written["trajectory"]).read().splitlines()
+    hdr_end = lines.index("end_header")
+    assert len(lines[hdr_end + 1].split()) == 6
