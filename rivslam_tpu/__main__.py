@@ -31,6 +31,7 @@ def main(argv=None) -> int:
     ap.add_argument("--f64", action="store_true", help="run in float64 (CPU debugging)")
     ap.add_argument("--method", default=None, help="override registration method")
     ap.add_argument("--eval-gt", default=None, help="TUM ground truth for ATE report")
+    ap.add_argument("--viz", default=None, help="prefix for PLY/JSON visualization export")
     args = ap.parse_args(argv)
 
     if os.environ.get("RIVSLAM_FORCE_CPU"):
@@ -112,6 +113,12 @@ def main(argv=None) -> int:
     if args.ckpt:
         checkpoint.dump(eng, args.ckpt)
         print(f"checkpoint -> {args.ckpt}")
+
+    if args.viz:
+        from rivslam_tpu.eval import viz
+
+        written = viz.export_session(eng, args.viz)
+        print("viz:", ", ".join(written.values()))
 
     if args.eval_gt:
         from rivslam_tpu.eval import ate as ate_mod

@@ -159,6 +159,10 @@ class ImuConfig:
         -0.0081643477385, 0.00502853428037, -0.99995400578406,
     )
     ext_trans: tuple = (0.3176955976234, 0.13761019052125, -0.05898352725152)
+    # rotate incoming IMU samples into the radar/base frame with ext_rot
+    # (ParamServer::imuConverter, utility_radar.h:206-236). Off by default:
+    # synthetic data and pre-converted sequences are already sensor-frame.
+    apply_extrinsics: bool = False
     # preintegration buffer capacity (IMU samples between radar frames;
     # 400 Hz IMU / 10 Hz radar ~ 40, with margin)
     preint_capacity: int = 64

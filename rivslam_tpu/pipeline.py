@@ -135,6 +135,13 @@ class Engine:
         st = self.state
         self.key, k1 = jax.random.split(self.key)
 
+        if c.imu.apply_extrinsics:
+            # imuConverter parity (utility_radar.h:206-236): rotate gyro and
+            # accel into the radar/base frame
+            ext = np.asarray(c.imu.ext_rot, dtype=np.float64).reshape(3, 3)
+            imu_acc = np.asarray(imu_acc) @ ext.T
+            imu_gyr = np.asarray(imu_gyr) @ ext.T
+
         ang_vel = jnp.asarray(
             imu_gyr[np.argmax(imu_mask)] if imu_mask.any() else np.zeros(3),
             dtype=self.dtype,

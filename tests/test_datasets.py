@@ -88,3 +88,21 @@ def test_status_and_highrate_prediction():
     T = eng.predict_highrate(np.full(K, 0.005), np.tile([0, 0, 9.80511], (K, 1)),
                              np.zeros((K, 3)), np.ones(K, dtype=bool))
     assert T is not None and np.isfinite(T).all()
+
+
+def test_imu_extrinsics_applied():
+    """apply_extrinsics rotates IMU samples by ext_rot (imuConverter parity)."""
+    import dataclasses
+    from rivslam_tpu.core.config import ImuConfig
+
+    seq, poses = make_sequence(n_frames=3)
+    base = EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False,
+        )
+    )
+    cfg = dataclasses.replace(base, imu=ImuConfig(apply_extrinsics=True))
+    eng = pipeline.Engine(cfg, dtype=jnp.float64)
+    outs = datasets.replay(eng, seq, capacity=256, imu_capacity=32)
+    assert all(np.isfinite(o["pose"]).all() for o in outs)
