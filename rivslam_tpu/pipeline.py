@@ -112,9 +112,38 @@ class Engine:
         def _solve_graph(g):
             return global_graph.solve_pose_graph(g)
 
+        @jax.jit
+        def _frame_step(odo_state, bk_state, cloud, ang_vel, stamp,
+                        imu_dts, imu_acc, imu_gyr, imu_mask, key):
+            """Fused per-frame path: preprocess -> odometry -> backend in ONE
+            dispatch (the nodelet pipeline collapsed into a single XLA
+            program; one host round trip per frame instead of four)."""
+            cl, ego, prepared, fl, dynamic_mask = _preprocess(cloud, ang_vel, key)
+            odo_state, oout = odometry.step(
+                odo_state, prepared, ego.v, stamp, c.odometry, c.registration
+            )
+            frame = slam.BackendFrame(
+                stamp=stamp,
+                odom_R=oout.odom[:3, :3],
+                odom_p=oout.odom[:3, 3],
+                xyz=cl.xyz,
+                mask=cl.mask,
+                ego_vel=ego.v,
+                ego_vel_cov=ego.sigma**2,
+                imu_dts=imu_dts,
+                imu_acc=imu_acc,
+                imu_gyr=imu_gyr,
+                imu_mask=imu_mask,
+                floor=fl.coeffs,
+                floor_valid=fl.found,
+            )
+            bk_state, bout = slam.backend_step(bk_state, frame, c.backend, c.imu)
+            return odo_state, bk_state, cl, ego, fl, dynamic_mask, oout, bout
+
         self._preprocess = _preprocess
         self._odometry = _odometry
         self._backend = _backend
+        self._frame_step = _frame_step
         self._sc_insert = _sc_insert
         self._sc_match = _sc_match
         self._verify = _verify
@@ -146,46 +175,52 @@ class Engine:
             imu_gyr[np.argmax(imu_mask)] if imu_mask.any() else np.zeros(3),
             dtype=self.dtype,
         )
-        with self.timers.time("preprocess"):
-            cl, ego, prepared, fl, dynamic_mask = self._preprocess(cloud, ang_vel, k1)
-
-        # ---- odometry
-        with self.timers.time("odometry"):
-            status = None
-            if st.odo is None:
-                st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
-                odom_pose = jnp.eye(4, dtype=self.dtype)
-                is_kf = True
-                reg_ok = True
-            else:
-                st.odo, oout = self._odometry(st.odo, prepared, ego.v, jnp.asarray(stamp, self.dtype))
-                odom_pose = oout.odom
-                is_kf = bool(oout.is_keyframe)
-                reg_ok = bool(oout.reg.converged)
-                status = self._scan_matching_status(oout)
-
-        # ---- backend window
-        with self.timers.time("backend"):
-            if st.backend is None:
+        status = None
+        if st.odo is None:
+            # first frame: initialize states host-side (jitted path assumes
+            # initialized state, scan_matching_odometry_nodelet.cpp:431-445)
+            with self.timers.time("preprocess"):
+                cl, ego, prepared, fl, dynamic_mask = self._preprocess(cloud, ang_vel, k1)
+            st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
+            odom_pose = jnp.eye(4, dtype=self.dtype)
+            is_kf = True
+            reg_ok = True
+            with self.timers.time("backend"):
                 st.backend = slam.init_state(
                     c.backend, c.imu, cloud_capacity=cl.capacity, dtype=self.dtype
                 )
-            frame = slam.BackendFrame(
-                stamp=jnp.asarray(stamp, self.dtype),
-                odom_R=odom_pose[:3, :3],
-                odom_p=odom_pose[:3, 3],
-                xyz=cl.xyz,
-                mask=cl.mask,
-                ego_vel=ego.v,
-                ego_vel_cov=ego.sigma**2,
-                imu_dts=jnp.asarray(imu_dts, self.dtype),
-                imu_acc=jnp.asarray(imu_acc, self.dtype),
-                imu_gyr=jnp.asarray(imu_gyr, self.dtype),
-                imu_mask=jnp.asarray(imu_mask),
-                floor=fl.coeffs,
-                floor_valid=fl.found,
-            )
-            st.backend, bout = self._backend(st.backend, frame)
+                frame = slam.BackendFrame(
+                    stamp=jnp.asarray(stamp, self.dtype),
+                    odom_R=odom_pose[:3, :3],
+                    odom_p=odom_pose[:3, 3],
+                    xyz=cl.xyz,
+                    mask=cl.mask,
+                    ego_vel=ego.v,
+                    ego_vel_cov=ego.sigma**2,
+                    imu_dts=jnp.asarray(imu_dts, self.dtype),
+                    imu_acc=jnp.asarray(imu_acc, self.dtype),
+                    imu_gyr=jnp.asarray(imu_gyr, self.dtype),
+                    imu_mask=jnp.asarray(imu_mask),
+                    floor=fl.coeffs,
+                    floor_valid=fl.found,
+                )
+                st.backend, bout = self._backend(st.backend, frame)
+        else:
+            with self.timers.time("frame_step"):
+                (st.odo, st.backend, cl, ego, fl, dynamic_mask, oout, bout) = (
+                    self._frame_step(
+                        st.odo, st.backend, cloud, ang_vel,
+                        jnp.asarray(stamp, self.dtype),
+                        jnp.asarray(imu_dts, self.dtype),
+                        jnp.asarray(imu_acc, self.dtype),
+                        jnp.asarray(imu_gyr, self.dtype),
+                        jnp.asarray(imu_mask), k1,
+                    )
+                )
+            odom_pose = oout.odom
+            is_kf = bool(oout.is_keyframe)
+            reg_ok = bool(oout.reg.converged)
+            status = self._scan_matching_status(oout)
 
         # ---- keyframe bookkeeping + global graph + loop closure
         loop_found = False
