@@ -135,6 +135,7 @@ def test_e2e_keyframes_and_graph(run):
 def test_e2e_timers_populated(run):
     eng, gt, times, odom_traj = run
     s = eng.timers.summary()
-    for stage in ["preprocess", "odometry", "backend"]:
+    # frame 0 initializes stage-by-stage; frames 1+ run the fused step
+    for stage in ["preprocess", "backend", "frame_step"]:
         assert stage in s and s[stage]["count"] > 0
     assert "| stage |" in eng.timers.report()
