@@ -3,6 +3,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rivslam_tpu import pipeline
 from rivslam_tpu.backend import map as map_mod
@@ -10,7 +11,12 @@ from rivslam_tpu.core.config import EngineConfig, PreprocessConfig
 from rivslam_tpu.io import checkpoint, synthetic
 
 
-def small_session(n_frames=6):
+@pytest.fixture(scope="module")
+def session():
+    return _small_session()
+
+
+def _small_session(n_frames=6):
     rng = np.random.default_rng(5)
     world = synthetic.make_world(rng, n_points=8000)
     times, poses, vels = synthetic.circular_trajectory(n_frames, radius=10.0, dt=0.25, omega=0.3)
@@ -37,8 +43,8 @@ def small_session(n_frames=6):
     return eng, cfg
 
 
-def test_dump_load_roundtrip(tmp_path):
-    eng, cfg = small_session()
+def test_dump_load_roundtrip(tmp_path, session):
+    eng, cfg = session
     d = str(tmp_path / "ckpt")
     checkpoint.dump(eng, d)
     assert os.path.exists(os.path.join(d, "manifest.json"))
@@ -61,9 +67,9 @@ def test_dump_load_roundtrip(tmp_path):
     np.testing.assert_allclose(p1, p2)
 
 
-def test_resume_continues(tmp_path):
+def test_resume_continues(tmp_path, session):
     """Resume-and-continue: loaded engine processes further frames sanely."""
-    eng, cfg = small_session()
+    eng, cfg = session
     d = str(tmp_path / "ckpt")
     checkpoint.dump(eng, d)
     eng2 = pipeline.Engine(cfg, dtype=jnp.float64)
@@ -81,8 +87,8 @@ def test_resume_continues(tmp_path):
     assert eng2.state.frame_idx == eng.state.frame_idx + 1
 
 
-def test_map_generation(tmp_path):
-    eng, cfg = small_session()
+def test_map_generation(tmp_path, session):
+    eng, cfg = session
     st = eng.state
     kf_xyz = jnp.stack([x for x, _ in st.kf_clouds])
     kf_mask = jnp.stack([m for _, m in st.kf_clouds])
@@ -101,10 +107,10 @@ def test_map_generation(tmp_path):
     np.testing.assert_allclose(back, pts, atol=1e-5)
 
 
-def test_viz_export(tmp_path):
+def test_viz_export(tmp_path, session):
     from rivslam_tpu.eval import viz
 
-    eng, cfg = small_session()
+    eng, cfg = session
     prefix = str(tmp_path / "session")
     written = viz.export_session(eng, prefix)
     assert "trajectory" in written and os.path.exists(written["trajectory"])

@@ -64,3 +64,24 @@ def test_incremental_odometry_consistency():
     for out in outs[1:]:
         acc = acc @ np.asarray(out.trans_delta)
         np.testing.assert_allclose(acc, np.asarray(out.odom), atol=1e-8)
+
+
+def test_transform_threshold_quirk():
+    """The reference's too-large-transform fallback composes
+    keyframe_pose @ trans @ radar_delta (double-applying the delta,
+    scan_matching_odometry_nodelet.cpp:561-568) — reproduced exactly."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    # craft a state where registration will report a large jump:
+    # target = cloud shifted by 2 m, so reg.T ~ [2,0,0] while prev_trans = I
+    pts = rng.normal(size=(200, 3)) * 5
+    src = apdgicp.prepare(jnp.asarray(pts), jnp.ones(200, bool), REG)
+    shifted = pts + np.array([2.0, 0, 0])
+    tgt = apdgicp.prepare(jnp.asarray(shifted), jnp.ones(200, bool), REG)
+    st = odometry.init_state(tgt, 0.0, dtype=jnp.float64)
+    st2, out = odometry.step(st, src, jnp.zeros(3), jnp.asarray(0.1), OdometryConfig(), REG)
+    assert bool(out.thresholded)
+    # odom = keyframe_pose @ trans @ radar_delta = trans @ trans (prev = I)
+    T = np.asarray(out.reg.T)
+    np.testing.assert_allclose(np.asarray(out.odom), T @ T, atol=1e-9)
