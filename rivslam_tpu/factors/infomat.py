@@ -68,11 +68,19 @@ def information_from_fitness(fitness: jax.Array, cfg: BackendConfig, dtype=None)
 
 
 def calc_information_matrix(
-    xyz1, mask1, xyz2, mask2, relpose, cfg: BackendConfig
+    xyz1, mask1, xyz2, mask2, relpose, cfg: BackendConfig, scaled: bool = True
 ) -> jax.Array:
     """calc_information_matrix parity. NOTE the reference builds info with
     translation in the TOP-LEFT block; our residual order is (rot, trans), so
-    we swap blocks here to keep physical meaning identical."""
+    we swap blocks here to keep physical meaning identical.
+
+    `scaled=False` drops the reference's 1e-8 variance-scaling quirk
+    (information_matrix_calculator.cpp:44-45) and yields PHYSICAL variances.
+    The window solve keeps the scaled version (it ran live in the reference);
+    the global loop graph uses physical ones — with the scaled values every
+    edge's chi2 is ~1e8 and the Huber kernel crushes precisely the loop
+    closures, which went unnoticed upstream because the loop timer was
+    disabled (SURVEY.md §3.3)."""
     if cfg.use_const_inf_matrix:
         inf = jnp.eye(6, dtype=xyz1.dtype)
         inf = inf.at[3:, 3:].divide(cfg.const_stddev_x)  # trans
@@ -80,10 +88,11 @@ def calc_information_matrix(
         return inf
     f = fitness_score(xyz1, mask1, xyz2, mask2, relpose, cfg.fitness_score_max_range)
     fitness_thresh = 0.5
-    w_x = 1.0e-8 * _weight(
+    quirk = 1.0e-8 if scaled else 1.0
+    w_x = quirk * _weight(
         cfg.var_gain_a, fitness_thresh, cfg.min_stddev_x**2, cfg.max_stddev_x**2, f
     )
-    w_q = 1.0e-8 * _weight(
+    w_q = quirk * _weight(
         cfg.var_gain_a, fitness_thresh, cfg.min_stddev_q**2, cfg.max_stddev_q**2, f
     )
     inf = jnp.eye(6, dtype=xyz1.dtype)

@@ -113,6 +113,14 @@ class Engine:
             return global_graph.solve_pose_graph(g)
 
         @jax.jit
+        def _edge_info(xyz1, mask1, xyz2, mask2, relpose):
+            from rivslam_tpu.factors import infomat
+
+            return infomat.calc_information_matrix(
+                xyz1, mask1, xyz2, mask2, relpose, c.backend, scaled=False
+            )
+
+        @jax.jit
         def _frame_step(odo_state, bk_state, cloud, ang_vel, stamp,
                         imu_dts, imu_acc, imu_gyr, imu_mask, key):
             """Fused per-frame path: preprocess -> odometry -> backend in ONE
@@ -148,6 +156,7 @@ class Engine:
         self._sc_match = _sc_match
         self._verify = _verify
         self._solve_graph = _solve_graph
+        self._edge_info = _edge_info
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -307,11 +316,18 @@ class Engine:
         if k == 0:
             rel_R, rel_p = jnp.eye(3, dtype=self.dtype), jnp.zeros(3, dtype=self.dtype)
             est_T = odom_pose
+            edge_info = jnp.eye(6, dtype=self.dtype)
         else:
             prev_odom = st.kf_odom[-1]
             rel = lie.se3_inverse(prev_odom) @ odom_pose
             rel_R, rel_p = rel[:3, :3], rel[:3, 3]
             est_T = lie.se3_matrix(g.R[k - 1], g.p[k - 1]) @ rel
+            # fitness-based information like the reference's loop_optimizer
+            # odometry edges (flush_keyframe_queue -> calc_information_matrix)
+            prev_xyz, prev_mask = st.kf_clouds[-1]
+            edge_info = self._edge_info(
+                cl.xyz, cl.mask, prev_xyz, prev_mask, lie.se3_inverse(rel)
+            )
         Rk = est_T[:3, :3]
         pk = est_T[:3, 3]
         st.kf_odom.append(odom_pose)
@@ -322,7 +338,7 @@ class Engine:
             node_mask=g.node_mask.at[k].set(True),
             odom_rel_R=g.odom_rel_R.at[k].set(rel_R),
             odom_rel_p=g.odom_rel_p.at[k].set(rel_p),
-            odom_info=g.odom_info.at[k].set(jnp.eye(6, dtype=self.dtype) * 100.0),
+            odom_info=g.odom_info.at[k].set(edge_info),
         )
         st.scdb = self._sc_insert(st.scdb, cl.xyz, cl.intensity, cl.mask)
         st.kf_clouds.append((cl.xyz, cl.mask))
@@ -387,13 +403,18 @@ class Engine:
         ln = int(np.asarray(jnp.sum(g.loop_mask)))
         if ln >= g.loop_i.shape[0]:
             return False
+        # information from registration fitness between the matched clouds
+        # (loop_detector.cpp:314: calc_information_matrix(cure, prev, T_lc))
+        loop_info = self._edge_info(
+            cl.xyz, cl.mask, cand_xyz, cand_mask, lie.se3_inverse(T_lc)
+        )
         st.graph = dataclasses.replace(
             g,
             loop_i=g.loop_i.at[ln].set(idx),
             loop_j=g.loop_j.at[ln].set(k),
             loop_rel_R=g.loop_rel_R.at[ln].set(T_lc[:3, :3]),
             loop_rel_p=g.loop_rel_p.at[ln].set(T_lc[:3, 3]),
-            loop_info=g.loop_info.at[ln].set(jnp.eye(6, dtype=self.dtype) * 400.0),
+            loop_info=g.loop_info.at[ln].set(loop_info),
             loop_mask=g.loop_mask.at[ln].set(True),
         )
         st.last_loop_accum = accum
