@@ -238,7 +238,9 @@ def backend_step(
     )
     bias_info = (1.0 / imu_cfg.gyr_noise**2, 1.0 / imu_cfg.acc_noise**2)
 
-    nav_opt, chi2, iters = win.solve_window(st.nav, factors, cfg, bias_info)
+    nav_opt, chi2, iters = win.solve_window(
+        st.nav, factors, cfg, bias_info, use_schur=cfg.use_schur
+    )
 
     # --- failure detection + resets (nodelet:489-522, 1351-1371)
     bad = (

@@ -178,6 +178,7 @@ class BackendConfig:
     solver_iterations: int = 512  # g2o_solver_num_iterations (we converge earlier)
     max_solver_iterations: int = 64  # our LM cap per window (converges far sooner)
     fix_first_node: bool = True
+    use_schur: bool = False  # Schur-eliminate velocity/bias blocks per solve
     # information matrix calculator (launch:171-179)
     use_const_inf_matrix: bool = False
     const_stddev_x: float = 0.5

