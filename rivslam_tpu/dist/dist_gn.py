@@ -99,3 +99,30 @@ def batched_window_solve(
         return jax.vmap(lambda a, b: win.solve_window(a, b, cfg, bias_info))(x, f)
 
     return run(states, factors)
+
+
+def batched_replay_odometry(
+    xyz: jax.Array,  # [S, F, N, 3] S independent sequences
+    mask: jax.Array,  # [S, F, N]
+    ego_vel: jax.Array,  # [S, F, 3]
+    times: jax.Array,  # [S, F]
+    odo_cfg,
+    reg_cfg: RegistrationConfig,
+    mesh: Mesh,
+):
+    """Production serving form: S independent sequences sharded over `data`,
+    each replayed sequentially on its device (frontend/replay_device.py) —
+    throughput scales with chips while per-sequence latency stays fixed."""
+    from rivslam_tpu.frontend import replay_device
+
+    dsh = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(x, dsh)
+    xyz, mask, ego_vel, times = put(xyz), put(mask), put(ego_vel), put(times)
+
+    @jax.jit
+    def run(x, m, v, t):
+        return jax.vmap(
+            lambda a, b, c, d: replay_device.replay_odometry(a, b, c, d, odo_cfg, reg_cfg)
+        )(x, m, v, t)
+
+    return run(xyz, mask, ego_vel, times)

@@ -114,3 +114,40 @@ def test_sharded_pose_graph_matches_local():
         np.asarray(g_dist.p[:40]), np.asarray(g_local.p[:40]), atol=1e-6
     )
     np.testing.assert_allclose(float(chi2_dist), float(chi2_local), rtol=1e-6)
+
+
+def test_batched_replay_odometry_sharded():
+    """S sequences sharded over the data axis replay identically to the
+    single-sequence device replay."""
+    from rivslam_tpu.core.config import OdometryConfig
+    from rivslam_tpu.frontend import replay_device
+    from rivslam_tpu.io import synthetic
+
+    reg = RegistrationConfig(method="FAST_GICP", transformation_epsilon=5e-4)
+    odo = OdometryConfig(use_ego_vel=True)
+    rng = np.random.default_rng(2)
+    world = synthetic.make_world(rng, n_points=6000)
+    n = 5
+    times, poses, vels = synthetic.circular_trajectory(n, radius=10.0, dt=0.25, omega=0.3)
+    clouds = [
+        synthetic.observe(world, poses[i], rng, capacity=256, noise=0.01,
+                          sensor_vel_world=vels[i], dtype=jnp.float64)
+        for i in range(n)
+    ]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    ego = jnp.stack([jnp.asarray(poses[i][:3, :3].T @ vels[i]) for i in range(n)])
+    ts = jnp.asarray(times)
+
+    single, _, _ = jax.jit(
+        lambda a, b, c, d: replay_device.replay_odometry(a, b, c, d, odo, reg)
+    )(xyz, mask, ego, ts)
+
+    S = 4
+    m = mesh_mod.make_mesh(4, 2)
+    stack = lambda x: jnp.stack([x] * S)
+    batched, kf, conv = dist_gn.batched_replay_odometry(
+        stack(xyz), stack(mask), stack(ego), stack(ts), odo, reg, m
+    )
+    for s in range(S):
+        np.testing.assert_allclose(np.asarray(batched[s]), np.asarray(single), atol=1e-9)
