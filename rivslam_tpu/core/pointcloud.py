@@ -98,7 +98,6 @@ def compact(cloud: RadarCloud) -> RadarCloud:
     forget the mask still see garbage far from the data.
     """
     order = jnp.argsort(~cloud.mask, stable=True)  # valid first
-    take = lambda a: jnp.take(a, order, axis=-1 if a.ndim == cloud.mask.ndim else -2)
     return RadarCloud(
         xyz=jnp.take(cloud.xyz, order, axis=-2),
         doppler=jnp.take(cloud.doppler, order, axis=-1),

@@ -1,1 +1,1 @@
-from rivslam_tpu.eval import ate  # noqa: F401
+from rivslam_tpu.eval import ate, timing, viz  # noqa: F401

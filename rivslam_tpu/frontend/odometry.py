@@ -64,6 +64,30 @@ def init_state(
     )
 
 
+def transform_update(
+    odom: jax.Array, imu_roll: jax.Array, imu_pitch: jax.Array, fusion_ratio: float
+) -> jax.Array:
+    """Loose IMU roll/pitch complementary fusion — transformUpdate parity
+    (scan_matching_odometry_nodelet.cpp:294-348, enable_imu_fusion; disabled
+    by default upstream): keep the odometry yaw, blend roll/pitch with the
+    IMU's by `imu_fusion_ratio`."""
+    ypr = lie.ypr_from_rot(odom[:3, :3])
+    roll_f = (1.0 - fusion_ratio) * ypr[2] + fusion_ratio * imu_roll
+    pitch_f = (1.0 - fusion_ratio) * ypr[1] + fusion_ratio * imu_pitch
+    Rz = lie.so3_exp(jnp.stack([jnp.zeros_like(ypr[0]), jnp.zeros_like(ypr[0]), ypr[0]]))
+    Ry = lie.so3_exp(jnp.stack([jnp.zeros_like(pitch_f), pitch_f, jnp.zeros_like(pitch_f)]))
+    Rx = lie.so3_exp(jnp.stack([roll_f, jnp.zeros_like(roll_f), jnp.zeros_like(roll_f)]))
+    return odom.at[:3, :3].set(Rz @ Ry @ Rx)
+
+
+def roll_pitch_from_gravity(acc_mean: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Roll/pitch from a (quasi-static) accelerometer gravity direction."""
+    ax, ay, az = acc_mean[0], acc_mean[1], acc_mean[2]
+    roll = jnp.arctan2(ay, az)
+    pitch = jnp.arctan2(-ax, jnp.sqrt(ay * ay + az * az))
+    return roll, pitch
+
+
 def step(
     state: OdometryState,
     source: apdgicp.PreparedCloud,

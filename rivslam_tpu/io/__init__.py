@@ -1,1 +1,1 @@
-from rivslam_tpu.io import synthetic, tum  # noqa: F401
+from rivslam_tpu.io import synthetic, tum, datasets, checkpoint, rosbag1  # noqa: F401

@@ -85,3 +85,26 @@ def test_transform_threshold_quirk():
     # odom = keyframe_pose @ trans @ radar_delta = trans @ trans (prev = I)
     T = np.asarray(out.reg.T)
     np.testing.assert_allclose(np.asarray(out.odom), T @ T, atol=1e-9)
+
+
+def test_transform_update_imu_fusion():
+    """enable_imu_fusion path: yaw preserved, roll/pitch blended."""
+    odom = np.eye(4)
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.05, -0.03, 0.7])))  # some pose
+    odom[:3, :3] = R
+    ypr0 = np.asarray(lie.ypr_from_rot(jnp.asarray(R)))
+    out = odometry.transform_update(
+        jnp.asarray(odom), jnp.asarray(0.1), jnp.asarray(-0.05), fusion_ratio=1.0
+    )
+    ypr1 = np.asarray(lie.ypr_from_rot(out[:3, :3]))
+    np.testing.assert_allclose(ypr1[0], ypr0[0], atol=1e-9)  # yaw unchanged
+    np.testing.assert_allclose(ypr1[2], 0.1, atol=1e-9)  # roll = imu
+    np.testing.assert_allclose(ypr1[1], -0.05, atol=1e-9)  # pitch = imu
+    # ratio 0: unchanged
+    out0 = odometry.transform_update(
+        jnp.asarray(odom), jnp.asarray(0.1), jnp.asarray(-0.05), fusion_ratio=0.0
+    )
+    np.testing.assert_allclose(np.asarray(out0), odom, atol=1e-9)
+    # gravity-based roll/pitch: level sensor -> zeros
+    r, p = odometry.roll_pitch_from_gravity(jnp.asarray([0.0, 0.0, 9.8]))
+    np.testing.assert_allclose([float(r), float(p)], 0.0, atol=1e-9)
