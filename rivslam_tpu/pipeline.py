@@ -21,7 +21,7 @@ from rivslam_tpu.core import lie
 from rivslam_tpu.core.config import EngineConfig
 from rivslam_tpu.core.pointcloud import RadarCloud
 from rivslam_tpu.eval.timing import StageTimers
-from rivslam_tpu.frontend import apdgicp, floor, odometry, reve
+from rivslam_tpu.frontend import apdgicp, floor, odometry, reve, scan2map
 from rivslam_tpu.loop import detector, global_graph, scancontext
 from rivslam_tpu.ops import deskew, filters
 
@@ -127,9 +127,14 @@ class Engine:
             dispatch (the nodelet pipeline collapsed into a single XLA
             program; one host round trip per frame instead of four)."""
             cl, ego, prepared, fl, dynamic_mask = _preprocess(cloud, ang_vel, key)
-            odo_state, oout = odometry.step(
-                odo_state, prepared, ego.v, stamp, c.odometry, c.registration
-            )
+            if c.odometry.enable_scan_to_map:
+                odo_state, oout = scan2map.step(
+                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration
+                )
+            else:
+                odo_state, oout = odometry.step(
+                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration
+                )
             frame = slam.BackendFrame(
                 stamp=stamp,
                 odom_R=oout.odom[:3, :3],
@@ -190,7 +195,10 @@ class Engine:
             # initialized state, scan_matching_odometry_nodelet.cpp:431-445)
             with self.timers.time("preprocess"):
                 cl, ego, prepared, fl, dynamic_mask = self._preprocess(cloud, ang_vel, k1)
-            st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
+            if c.odometry.enable_scan_to_map:
+                st.odo = scan2map.init_state(prepared, stamp, c.odometry, dtype=self.dtype)
+            else:
+                st.odo = odometry.init_state(prepared, stamp, dtype=self.dtype)
             odom_pose = jnp.eye(4, dtype=self.dtype)
             is_kf = True
             reg_ok = True
@@ -343,7 +351,8 @@ class Engine:
         st.scdb = self._sc_insert(st.scdb, cl.xyz, cl.intensity, cl.mask)
         st.kf_clouds.append((cl.xyz, cl.mask))
         st.kf_stamps.append(stamp)
-        accum = float(np.asarray(st.odo.accum_distance)) if st.odo is not None else 0.0
+        odo_st = st.odo.base if hasattr(st.odo, "base") else st.odo
+        accum = float(np.asarray(odo_st.accum_distance)) if st.odo is not None else 0.0
         st.kf_accum.append(accum)
         st.kf_count += 1
 

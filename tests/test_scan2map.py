@@ -63,3 +63,35 @@ def test_submap_build_geometry():
     # older keyframe's points are mapped by T01^-1 (into newest frame)
     expect = (np.linalg.inv(T01)[:3, :3] @ pts.T).T + np.linalg.inv(T01)[:3, 3]
     np.testing.assert_allclose(np.asarray(target.xyz[:64]), expect, atol=1e-12)
+
+
+def test_engine_scan_to_map_mode():
+    """enable_scan_to_map runs through the full Engine."""
+    import jax.numpy as jnp2
+
+    from rivslam_tpu import pipeline
+    from rivslam_tpu.core.config import (
+        BackendConfig, EngineConfig, PreprocessConfig,
+    )
+
+    rng = np.random.default_rng(4)
+    world = synthetic.make_world(rng, n_points=8000)
+    times, poses, vels = synthetic.circular_trajectory(6, radius=10.0, dt=0.25, omega=0.3)
+    cfg = EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False,
+        ),
+        odometry=OdometryConfig(use_ego_vel=True, enable_scan_to_map=True, max_submap_frames=3),
+        registration=RegistrationConfig(method="FAST_GICP"),
+        backend=BackendConfig(max_solver_iterations=4),
+    )
+    eng = pipeline.Engine(cfg, dtype=jnp2.float64)
+    K = 32
+    for i in range(6):
+        cloud = synthetic.observe(world, poses[i], rng, capacity=320, noise=0.01,
+                                  sensor_vel_world=vels[i], dtype=jnp2.float64)
+        dts = np.zeros(K); acc = np.zeros((K, 3)); gyr = np.zeros((K, 3)); m = np.zeros(K, bool)
+        out = eng.process_frame(cloud, times[i], dts, acc, gyr, m)
+        assert np.isfinite(out["pose"]).all()
+    assert eng.state.kf_count >= 2
