@@ -106,3 +106,38 @@ def test_imu_extrinsics_applied():
     eng = pipeline.Engine(cfg, dtype=jnp.float64)
     outs = datasets.replay(eng, seq, capacity=256, imu_capacity=32)
     assert all(np.isfinite(o["pose"]).all() for o in outs)
+
+
+def test_scan_extended_ingest_through_engine():
+    """RadarScanExtended-style spherical ingest -> shim -> full engine."""
+    rng = np.random.default_rng(12)
+    world = synthetic.make_world(rng, n_points=8000)
+    times, poses, vels = synthetic.circular_trajectory(4, radius=10.0, dt=0.25, omega=0.3)
+    frames = []
+    for i in range(4):
+        c = synthetic.observe(world, poses[i], rng, capacity=256, noise=0.01,
+                              sensor_vel_world=vels[i], dtype=jnp.float64)
+        m = np.asarray(c.mask)
+        xyz = np.asarray(c.xyz)[m]
+        # to spherical (reference convention: z = -r sin(el))
+        r = np.linalg.norm(xyz, axis=1)
+        az = np.arctan2(xyz[:, 1], xyz[:, 0])
+        el = np.arcsin(np.clip(-xyz[:, 2] / r, -1, 1))
+        back = datasets.targets_to_xyz(r, az, el)
+        np.testing.assert_allclose(back, xyz, atol=1e-9)
+        frames.append(dict(stamp=float(times[i]), xyz=back,
+                           doppler=np.asarray(c.doppler)[m],
+                           intensity=np.asarray(c.intensity)[m]))
+    imu_t = np.arange(0.0, times[-1] + 0.02, 0.02)
+    seq = datasets.RadarSequence.from_frames(
+        frames, imu_t, np.tile([0, 0, 9.80511], (len(imu_t), 1)), np.zeros((len(imu_t), 3))
+    )
+    cfg = EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False,
+        )
+    )
+    eng = pipeline.Engine(cfg, dtype=jnp.float64)
+    outs = datasets.replay(eng, seq, capacity=256, imu_capacity=32)
+    assert all(np.isfinite(o["pose"]).all() for o in outs)
