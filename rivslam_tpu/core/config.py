@@ -93,6 +93,7 @@ class RegistrationConfig:
     azimuth_var: float = 1.0  # degrees
     elevation_var: float = 1.0  # degrees
     # LM loop (lsq_registration_impl.hpp:12-23; launch reg_maximum_iterations=64)
+    optimizer: str = "LM"  # LM | GN (LSQ_OPTIMIZER_TYPE, lsq_registration_impl.hpp:95-104)
     max_iterations: int = 64
     lm_max_iterations: int = 10
     lm_init_lambda_factor: float = 1e-9

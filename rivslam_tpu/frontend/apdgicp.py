@@ -268,6 +268,17 @@ def register(
         T, lam, converged, failed, it, Hf, errf = carry
         return (~converged) & (~failed) & (it < cfg.max_iterations)
 
+    def outer_body_gn(carry):
+        """step_gn (lsq_registration_impl.hpp:107-123): one undamped solve."""
+        T, lam, converged, failed, it, Hf, errf = carry
+        idx, corr, mah, d2 = _correspondences(T, source, target, cfg)
+        H, b, y0 = _linearize(T, source, target, idx, corr, mah)
+        H, b, y0 = _reduce(H), _reduce(b), _reduce(y0)
+        d = jnp.linalg.solve(H, -b[..., None])[..., 0]
+        delta = _se3_from_rt(d)
+        T_new = delta @ T
+        return (T_new, lam, _is_converged(delta, cfg), failed, it + 1, H, y0)
+
     def outer_body(carry):
         T, lam, converged, failed, it, Hf, errf = carry
         idx, corr, mah, d2 = _correspondences(T, source, target, cfg)
@@ -344,7 +355,8 @@ def register(
         jnp.eye(6, dtype=dtype),
         jnp.asarray(jnp.inf, dtype),
     )
-    T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, outer_body, init)
+    body = outer_body_gn if cfg.optimizer == "GN" else outer_body
+    T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, body, init)
 
     # final correspondence stats at the solution
     idx, corr, mah, d2 = _correspondences(T, source, target, cfg)

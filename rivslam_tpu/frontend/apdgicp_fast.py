@@ -305,6 +305,18 @@ def register_fast(
         T, lam, converged, failed, it, Hf, errf = c
         return (~converged) & (~failed) & (it < cfg.max_iterations)
 
+    def outer_body_gn(c):
+        """step_gn (lsq_registration_impl.hpp:107-123): one undamped solve."""
+        T, lam, converged, failed, it, Hf, errf = c
+        idx, w, m, g, best = correspondences(T)
+        H, b, y0 = linearize(T, w, m, g)
+        d = jnp.linalg.solve(H, -b[:, None])[:, 0]
+        delta = lie.se3_matrix(lie.so3_exp(d[:3]), d[3:])
+        T_new = delta @ T
+        return (
+            T_new, lam, apdgicp._is_converged(delta, cfg), failed, it + 1, H, y0,
+        )
+
     def outer_body(c):
         T, lam, converged, failed, it, Hf, errf = c
         idx, w, m, g, best = correspondences(T)
@@ -352,7 +364,8 @@ def register_fast(
 
     init = (T0, jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(0, jnp.int32), jnp.eye(6, dtype=dtype), jnp.asarray(jnp.inf, dtype))
-    T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, outer_body, init)
+    body = outer_body_gn if cfg.optimizer == "GN" else outer_body
+    T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, body, init)
 
     idx, w, m, g, best = correspondences(T)
     ncorr = jnp.sum(w)

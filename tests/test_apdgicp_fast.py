@@ -78,3 +78,17 @@ def test_fast_end_to_end_with_fast_cov(scene):
     assert bool(res.converged)
     delta = np.asarray(lie.se3_inverse(res.T)) @ T_rel
     assert np.linalg.norm(delta[:3, 3]) < 0.25
+
+
+def test_gauss_newton_optimizer(scene):
+    """The reference's GN option (step_gn) converges on the same problem."""
+    import dataclasses
+
+    s, t, T_rel, cfg = scene
+    gn_cfg = dataclasses.replace(cfg, optimizer="GN")
+    ref = apdgicp.register(s, t, jnp.asarray(T_rel), gn_cfg)
+    fast = apdgicp_fast.register_fast(s, t, jnp.asarray(T_rel), gn_cfg)
+    assert bool(ref.converged) and bool(fast.converged)
+    np.testing.assert_allclose(np.asarray(fast.T), np.asarray(ref.T), atol=1e-6)
+    delta = np.asarray(lie.se3_inverse(ref.T)) @ T_rel
+    assert np.linalg.norm(delta[:3, 3]) < 0.3
