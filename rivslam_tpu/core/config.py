@@ -231,6 +231,8 @@ class LoopConfig:
     search_ratio: float = 0.1  # Scancontext.h:127
     num_exclude_recent: int = 10  # Scancontext.h:122
     num_candidates: int = 3  # Scancontext.h:123
+    use_sc_yaw_guess: bool = False  # seed ICP verify with the SC yaw (the
+    # reference computes yawDiffRad but leaves it unused, Scancontext.cpp:375)
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
 

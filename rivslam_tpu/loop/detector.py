@@ -89,14 +89,27 @@ def prefilter_candidates(
 
 
 def verify_loop(
-    new_xyz, new_mask, cand_xyz, cand_mask, reg_cfg: RegistrationConfig, cfg: LoopConfig
+    new_xyz, new_mask, cand_xyz, cand_mask, reg_cfg: RegistrationConfig,
+    cfg: LoopConfig, yaw_guess=None,
 ):
     """ICP/GICP verification (loop_detector.cpp:219-233): align new keyframe
     cloud onto the candidate, gate on fitness (mean sq NN distance, pcl
-    getFitnessScore semantics)."""
+    getFitnessScore semantics). With cfg.use_sc_yaw_guess the scan-context
+    alignment yaw seeds the solve — the reference computes that yaw but never
+    uses it ("pcl icp with initial something wrong", loop_detector.cpp:212)."""
+    dtype = new_xyz.dtype
+    if yaw_guess is not None and cfg.use_sc_yaw_guess:
+        from rivslam_tpu.core import lie
+
+        zeros = jnp.zeros((), dtype=dtype)
+        guess = lie.se3_matrix(
+            lie.so3_exp(jnp.stack([zeros, zeros, yaw_guess.astype(dtype)])),
+            jnp.zeros(3, dtype=dtype),
+        )
+    else:
+        guess = jnp.eye(4, dtype=dtype)
     res = apdgicp.prepare_and_register(
-        new_xyz, new_mask, cand_xyz, cand_mask,
-        jnp.eye(4, dtype=new_xyz.dtype), reg_cfg,
+        new_xyz, new_mask, cand_xyz, cand_mask, guess, reg_cfg
     )
     ok = res.converged & (res.fitness <= cfg.history_fitness_score)
     return res, ok

@@ -105,8 +105,11 @@ class Engine:
             return scancontext.match(db, d, qidx, cand_mask, c.loop)
 
         @jax.jit
-        def _verify(new_xyz, new_mask, cand_xyz, cand_mask):
-            return detector.verify_loop(new_xyz, new_mask, cand_xyz, cand_mask, c.registration, c.loop)
+        def _verify(new_xyz, new_mask, cand_xyz, cand_mask, yaw_guess):
+            return detector.verify_loop(
+                new_xyz, new_mask, cand_xyz, cand_mask, c.registration, c.loop,
+                yaw_guess=yaw_guess,
+            )
 
         @jax.jit
         def _solve_graph(g):
@@ -379,7 +382,7 @@ class Engine:
             return False
         # registration verification
         cand_xyz, cand_mask = st.kf_clouds[idx]
-        res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask)
+        res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask, yaw)
         if not bool(ok):
             return False
         # odometry check: T_lc maps new cloud into candidate frame

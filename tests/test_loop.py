@@ -184,3 +184,45 @@ def test_odometry_and_pairwise_checks():
     # grossly inconsistent correction fails
     bad = jnp.eye(4, dtype=dtype).at[:3, 3].set(jnp.asarray([50.0, 0, 0]))
     assert not bool(detector.odometry_check(bad, odom_i, odom_j, jnp.asarray(10), cfg))
+
+
+def test_verify_with_yaw_guess():
+    """SC-yaw-seeded verification recovers a 30-degree rotated revisit that a
+    cold start struggles with."""
+    import dataclasses
+
+    from rivslam_tpu.core.config import RegistrationConfig
+
+    rng = np.random.default_rng(6)
+    world = synthetic.make_world(rng, n_points=12000)
+    T0 = np.eye(4); T0[:3, 3] = [0, 0, 2.0]
+    yaw = np.radians(30.0)
+    T1 = T0.copy()
+    T1[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0, 0, yaw])))
+    cand = synthetic.observe(world, T0, rng, capacity=512, noise=0.01, dtype=jnp.float64)
+    new = synthetic.observe(world, T1, rng, capacity=512, noise=0.01, dtype=jnp.float64)
+    reg_cfg = RegistrationConfig(method="FAST_GICP", transformation_epsilon=5e-4)
+    cfg = dataclasses.replace(CFG, use_sc_yaw_guess=True)
+    res, ok = detector.verify_loop(
+        new.xyz, new.mask, cand.xyz, cand.mask, reg_cfg, cfg,
+        yaw_guess=jnp.asarray(yaw),
+    )
+    # T should recover the yaw rotation: T ~ T0^-1 T1
+    got_yaw = float(jnp.arctan2(res.T[1, 0], res.T[0, 0]))
+    assert abs(got_yaw - yaw) < 0.05, got_yaw
+
+
+def test_robust_kernel_formulas():
+    from rivslam_tpu.factors import robust
+
+    chi2 = jnp.asarray([0.25, 4.0, 100.0])
+    # Huber delta=1: weight 1 below d^2, d/sqrt(chi2) above
+    w = np.asarray(robust.kernel_weight("Huber", 1.0, chi2))
+    np.testing.assert_allclose(w, [1.0, 0.5, 0.1], atol=1e-9)
+    w = np.asarray(robust.kernel_weight("Cauchy", 1.0, chi2))
+    np.testing.assert_allclose(w, 1 / (1 + np.asarray(chi2)), atol=1e-9)
+    assert np.asarray(robust.kernel_weight("NONE", 1.0, chi2)).tolist() == [1, 1, 1]
+    for name in ["GemanMcClure", "Welsch", "Fair", "DCS", "Saturated", "Tukey", "PseudoHuber"]:
+        w = np.asarray(robust.kernel_weight(name, 1.0, chi2))
+        assert (w >= 0).all() and (w <= 1.0 + 1e-9).all()
+        assert w[0] >= w[-1]  # monotone non-increasing in chi2
