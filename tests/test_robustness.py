@@ -134,3 +134,44 @@ def test_pose_graph_full_capacity():
     end_err0 = np.linalg.norm(est[n - 1][:3, 3] - gt[n - 1][:3, 3])
     end_err1 = np.linalg.norm(np.asarray(g_opt.p[n - 1]) - gt[n - 1][:3, 3])
     assert end_err1 < end_err0
+
+
+def test_empty_scan_through_stages():
+    """A scan with zero valid points must not NaN any stage."""
+    import jax
+
+    from rivslam_tpu.core.config import FloorConfig, ReveConfig
+    from rivslam_tpu.core.pointcloud import RadarCloud
+    from rivslam_tpu.frontend import floor, reve
+
+    cloud = RadarCloud.zeros(128, dtype=jnp.float64)
+    cfg = RegistrationConfig()
+    # covariance estimation
+    prep = apdgicp.prepare(cloud.xyz, cloud.mask, cfg)
+    assert np.isfinite(np.asarray(prep.cov)).all()
+    # registration vs an empty target: must not produce NaN pose
+    res = apdgicp.register_dispatch(prep, prep, jnp.eye(4, dtype=jnp.float64), cfg)
+    assert np.isfinite(np.asarray(res.T)).all()
+    assert int(res.num_correspondences) == 0
+    # REVE
+    r = reve.estimate_ego_velocity(cloud, ReveConfig(), jax.random.key(0))
+    assert not bool(r.success)
+    assert np.isfinite(np.asarray(r.v)).all()
+    # floor
+    f = floor.detect_floor(cloud.xyz, cloud.mask, FloorConfig(), jax.random.key(1))
+    assert not bool(f.found)
+    assert np.isfinite(np.asarray(f.coeffs)).all()
+
+
+def test_degenerate_collinear_scan():
+    """All points on a line: registration stays finite (H is singular in the
+    directions the data cannot constrain; LM damping must cope)."""
+    t = np.linspace(-10, 10, 100)
+    pts = np.stack([t, 0.1 * t, np.zeros_like(t)], axis=1)
+    from rivslam_tpu.core.pointcloud import RadarCloud
+
+    cloud = RadarCloud.from_numpy(pts, 128, dtype=jnp.float64)
+    cfg = RegistrationConfig()
+    prep = apdgicp.prepare(cloud.xyz, cloud.mask, cfg)
+    res = apdgicp.register_dispatch(prep, prep, jnp.eye(4, dtype=jnp.float64), cfg)
+    assert np.isfinite(np.asarray(res.T)).all()
