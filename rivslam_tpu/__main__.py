@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     ap.add_argument("--method", default=None, help="override registration method")
     ap.add_argument("--eval-gt", default=None, help="TUM ground truth for ATE report")
     ap.add_argument("--viz", default=None, help="prefix for PLY/JSON visualization export")
+    ap.add_argument("--outlier-removal", default=None,
+                    help="override outlier filter: NONE|RADIUS|STATISTICAL|BILATERAL")
+    ap.add_argument("--no-deskew", action="store_true")
+    ap.add_argument("--no-dynamic-removal", action="store_true")
+    ap.add_argument("--use-ego-vel", action="store_true",
+                    help="enable the ego-velocity motion prior (enable_frontend_ego_vel)")
     args = ap.parse_args(argv)
 
     if os.environ.get("RIVSLAM_FORCE_CPU"):
@@ -44,12 +50,24 @@ def main(argv=None) -> int:
     from rivslam_tpu.core.config import EngineConfig, RegistrationConfig
     from rivslam_tpu.io import checkpoint, datasets, tum
 
+    import dataclasses
+
     cfg = EngineConfig()
     if args.method:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg, registration=dataclasses.replace(cfg.registration, method=args.method)
+        )
+    pp = cfg.preprocess
+    if args.outlier_removal:
+        pp = dataclasses.replace(pp, outlier_removal_method=args.outlier_removal)
+    if args.no_deskew:
+        pp = dataclasses.replace(pp, enable_deskew=False)
+    if args.no_dynamic_removal:
+        pp = dataclasses.replace(pp, enable_dynamic_object_removal=False)
+    cfg = dataclasses.replace(cfg, preprocess=pp)
+    if args.use_ego_vel:
+        cfg = dataclasses.replace(
+            cfg, odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True)
         )
     eng = pipeline.Engine(cfg, dtype=jnp.float64 if args.f64 else jnp.float32)
     if args.resume:
