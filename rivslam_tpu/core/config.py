@@ -235,6 +235,8 @@ class LoopConfig:
     # reference computes yawDiffRad but leaves it unused, Scancontext.cpp:375)
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
+    global_solver: str = "SCHUR"  # SCHUR (exact block elimination) | PCG
+    schur_blocks: int = 16  # submap count for the block-Schur solver
 
 
 @dataclasses.dataclass(frozen=True)

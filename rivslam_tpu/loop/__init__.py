@@ -1,1 +1,1 @@
-from rivslam_tpu.loop import scancontext, detector, global_graph  # noqa: F401
+from rivslam_tpu.loop import scancontext, detector, global_graph, block_schur  # noqa: F401

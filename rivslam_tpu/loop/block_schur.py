@@ -1,0 +1,231 @@
+"""Block-Schur global pose-graph solver — submap-partitioned Schur
+complement reduction (BASELINE north star: "sparse Schur-complement
+reduction" / "submap-partitioned distributed BA").
+
+Structure:
+- keyframes are partitioned into S contiguous blocks (submaps) of size B;
+- block-boundary nodes and loop-edge endpoints are SEPARATORS; everything
+  else is interior. All cross-block odometry edges land on boundary
+  separators by construction; loop edges touch separators only;
+- each block eliminates its interior via a masked Schur complement
+  (H_II' = D H D + (I - D) keeps shapes static while acting as H_II on
+  interior dims and identity on the rest), producing a small contribution to
+  the reduced separator system;
+- the reduced system (<= (2S + 2L) nodes) is solved densely; interiors
+  back-substitute per block.
+
+The per-block elimination vmaps over blocks — the same axis maps to devices
+with shard_map for multi-host submap partitioning (TODO.md); contributions
+then combine by psum exactly like dist/dist_graph.py.
+
+Cross-checked against the PCG solver (loop/global_graph.py) in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.factors import robust
+from rivslam_tpu.loop import global_graph as gg
+
+
+def _slot_of(node, B, S, num_loop_slots):
+    """Global separator slot for a node that IS a separator by the boundary
+    rule; -1 if not a boundary node (loop endpoints get their own slots)."""
+    blk = node // B
+    lo = node % B == 0
+    hi = node % B == B - 1
+    return jnp.where(lo, 2 * blk, jnp.where(hi, 2 * blk + 1, -1))
+
+
+@partial(jax.jit, static_argnames=("num_blocks", "gn_iters", "huber_delta"))
+def solve_pose_graph_schur(
+    g: gg.PoseGraph,
+    num_blocks: int = 8,
+    gn_iters: int = 8,
+    huber_delta: float = 1.0,
+):
+    """Gauss-Newton with per-iteration block-Schur elimination."""
+    K = g.R.shape[0]
+    L = g.loop_i.shape[0]
+    S = num_blocks
+    assert K % S == 0, "keyframe capacity must divide into blocks"
+    B = K // S
+    dtype = g.p.dtype
+    P = 2 * S + 2 * L  # separator slot capacity (+1 dump slot appended)
+
+    node_ids = jnp.arange(K)
+    blk_of = node_ids // B
+
+    def gn_step(carry, _):
+        R, p = carry
+        gcur = dataclasses.replace(g, R=R, p=p)
+
+        # ---- linearize ALL edges once (odometry chain + loops)
+        ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
+        r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(
+            R[ei], p[ei], R[ej], p[ej], Rm, pm
+        )
+        chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+        w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+        w = w * mask.astype(dtype)
+        W = info * w[:, None, None]
+        chi2 = jnp.sum(chi2_e * w)
+
+        # per-edge H blocks and gradients
+        Wr = jnp.einsum("eij,ej->ei", W, r)
+        g_i = jnp.einsum("eji,ej->ei", Ji, Wr)  # [E,6]
+        g_j = jnp.einsum("eji,ej->ei", Jj, Wr)
+        H_ii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
+        H_ij = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj)
+        H_jj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
+
+        # ---- separator bookkeeping
+        # separator nodes: block boundaries + active loop endpoints
+        sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
+        sep_mask = sep_mask.at[g.loop_i].set(
+            sep_mask[g.loop_i] | g.loop_mask
+        ).at[g.loop_j].set(sep_mask[g.loop_j] | g.loop_mask)
+        # slot per node: boundary slot, else loop slot (first match), else -1
+        slot = _slot_of(node_ids, B, S, 2 * L)
+        # assign loop-endpoint slots where not boundary (later loops override
+        # earlier identical endpoints harmlessly: one node -> one slot)
+        li_slot = jnp.where(
+            _slot_of(g.loop_i, B, S, 2 * L) >= 0,
+            _slot_of(g.loop_i, B, S, 2 * L),
+            2 * S + 2 * jnp.arange(L),
+        )
+        lj_slot = jnp.where(
+            _slot_of(g.loop_j, B, S, 2 * L) >= 0,
+            _slot_of(g.loop_j, B, S, 2 * L),
+            2 * S + 2 * jnp.arange(L) + 1,
+        )
+        slot = slot.at[g.loop_i].set(jnp.where(g.loop_mask, li_slot, slot[g.loop_i]))
+        slot = slot.at[g.loop_j].set(jnp.where(g.loop_mask, lj_slot, slot[g.loop_j]))
+        slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, P), P)  # P = dump
+
+        # ---- classify edges: intra-block (handled in block elimination) vs
+        # separator-only (both endpoints separators AND (cross-block or loop))
+        same_block = blk_of[ei] == blk_of[ej]
+        intra = same_block & ~is_loop & mask
+        sep_edge = mask & ~intra  # cross-block odometry + loop edges
+
+        # ---- per-block local assembly from intra edges
+        # edge k of the odometry chain belongs to block blk_of[ej] (= j=k)
+        E = ei.shape[0]
+        edge_blk = jnp.where(intra, blk_of[ej], S)  # invalid -> dump block
+        # local indices of endpoints within the block
+        loc_i = (ei % B).astype(jnp.int32)
+        loc_j = (ej % B).astype(jnp.int32)
+
+        # build [S, 6B, 6B] local Hessians and [S, 6B] gradients by scatter
+        def scatter_block(vals, rows, cols, blkid):
+            out = jnp.zeros((S + 1, 6 * B, 6 * B), dtype=dtype)
+            r0 = rows * 6
+            c0 = cols * 6
+            ri = r0[:, None] + jnp.arange(6)[None, :]
+            ci = c0[:, None] + jnp.arange(6)[None, :]
+            return out.at[
+                blkid[:, None, None],
+                ri[:, :, None],
+                ci[:, None, :],
+            ].add(vals)[:-1]
+
+        Hb = scatter_block(H_ii, loc_i, loc_i, edge_blk)
+        Hb = Hb + scatter_block(H_ij, loc_i, loc_j, edge_blk)
+        Hb = Hb + scatter_block(jnp.swapaxes(H_ij, 1, 2), loc_j, loc_i, edge_blk)
+        Hb = Hb + scatter_block(H_jj, loc_j, loc_j, edge_blk)
+        gb = jnp.zeros((S + 1, 6 * B), dtype=dtype)
+        gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
+        gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
+        gb = gb.at[edge_blk[:, None], gi_idx].add(g_i)
+        gb = gb.at[edge_blk[:, None], gj_idx].add(g_j)
+        gb = gb[:-1]
+
+        # GPS priors (unary, may be interior): into local blocks
+        w_gps = g.gps_info * g.gps_mask[:, None].astype(dtype)  # [K,3]
+        gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(dtype)
+        loc_n = (node_ids % B).astype(jnp.int32)
+        diag_idx = (loc_n * 6)[:, None] + jnp.arange(3)[None, :] + 3  # trans dims
+        # (diagonal add, element-wise form)
+        Hb_flatdiag = jnp.zeros((S, 6 * B), dtype=dtype)
+        Hb_flatdiag = Hb_flatdiag.at[blk_of[:, None], diag_idx].add(w_gps)
+        Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
+        gb = gb.at[blk_of[:, None], diag_idx].add(w_gps * gps_r)
+
+        # Tikhonov keeps unconstrained dims inert
+        Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
+
+        # ---- masked interior elimination per block
+        # D: interior indicator per local dim
+        sep_local = sep_mask.reshape(S, B)  # [S,B]
+        D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)  # [S, 6B]
+        Dm = D[:, :, None] * D[:, None, :]
+        # H_II' = D H D + diag(1-D): acts as H_II on interior dims, identity
+        # elsewhere — static shapes, no permutations
+        H_II = Hb * Dm + jax.vmap(jnp.diag)(1.0 - D)
+        H_IS = Hb * (D[:, :, None] * (1.0 - D)[:, None, :])  # interior rows, sep cols
+        H_SS = Hb * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
+        g_I = gb * D
+        g_S = gb * (1.0 - D)
+
+        X = jnp.linalg.solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
+        HII_inv_HIS = X[:, :, :-1]
+        HII_inv_gI = X[:, :, -1]
+        S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
+        g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
+
+        # ---- assemble the reduced separator system [6(P+1)] (last = dump)
+        slot_local = slot.reshape(S, B)  # [S,B] (P for non-separators)
+        sdim = (slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]
+        sdim = sdim.reshape(S, 6 * B)  # slot dim per local dim
+        Pdim = 6 * (P + 1)
+        H_sep = jnp.zeros((Pdim, Pdim), dtype=dtype)
+        H_sep = H_sep.at[sdim[:, :, None], sdim[:, None, :]].add(S_blk)
+        g_sep = jnp.zeros((Pdim,), dtype=dtype).at[sdim].add(g_blk)
+
+        # separator-only edges (cross-block odometry + loops) by slot
+        si = slot[ei]
+        sj = slot[ej]
+        se_w = sep_edge.astype(dtype)
+        si = jnp.where(sep_edge, si, P)
+        sj = jnp.where(sep_edge, sj, P)
+        di = (si * 6)[:, None] + jnp.arange(6)[None, :]
+        dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
+        H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(H_ii * se_w[:, None, None])
+        H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(H_ij * se_w[:, None, None])
+        H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
+            jnp.swapaxes(H_ij, 1, 2) * se_w[:, None, None]
+        )
+        H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(H_jj * se_w[:, None, None])
+        g_sep = g_sep.at[di].add(g_i * se_w[:, None]).at[dj].add(g_j * se_w[:, None])
+
+        # anchor on node 0 (slot 0 — node 0 is a boundary separator)
+        anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+        H_sep = H_sep.at[:6, :6].add(g.anchor_info)
+        g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
+
+        # inert dump slot + unused slots
+        H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
+        d_sep = jnp.linalg.solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
+        d_sep = d_sep.at[6 * P :].set(0.0)  # dump slot contributes nothing
+
+        # ---- back-substitution per block
+        d_S_local = d_sep[sdim]  # [S, 6B] separator deltas in local layout
+        d_I = -HII_inv_gI - jnp.einsum("sij,sj->si", HII_inv_HIS, d_S_local)
+        d_local = d_I * D + d_S_local * (1.0 - D)  # [S, 6B]
+        d = d_local.reshape(K, 6)
+
+        R_new = R @ lie.so3_exp(d[:, :3])
+        p_new = p + d[:, 3:]
+        return (R_new, p_new), chi2
+
+    (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (g.R, g.p), None, length=gn_iters)
+    g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
+    _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
+    return g_out, chi2_fin

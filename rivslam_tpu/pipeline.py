@@ -113,6 +113,12 @@ class Engine:
 
         @jax.jit
         def _solve_graph(g):
+            if c.loop.global_solver == "SCHUR":
+                from rivslam_tpu.loop import block_schur
+
+                return block_schur.solve_pose_graph_schur(
+                    g, num_blocks=c.loop.schur_blocks
+                )
             return global_graph.solve_pose_graph(g)
 
         @jax.jit

@@ -1,0 +1,110 @@
+"""Block-Schur (submap-partitioned) global solver vs the PCG solver."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rivslam_tpu.core import lie
+from rivslam_tpu.loop import block_schur, global_graph
+
+
+def drifted_graph(K=64, L=8, n=48, n_loops=2, seed=0, dtype=jnp.float64,
+                  gps_every=None):
+    rng = np.random.default_rng(seed)
+    g = global_graph.PoseGraph.create(K, L, dtype=dtype)
+    gt = [np.eye(4)]
+    for k in range(1, n):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0, 0, 2 * np.pi / n])))
+        T[0, 3] = 1.0
+        gt.append(gt[-1] @ T)
+    gt = np.stack(gt)
+    est = [np.eye(4)]
+    rels = [np.eye(4)]
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        rel = rel @ np.asarray(lie.se3_exp(jnp.asarray(rng.normal(size=6) * 0.01)))
+        rels.append(rel)
+        est.append(est[-1] @ rel)
+    est = np.stack(est)
+    rels = np.stack(rels)
+    g = dataclasses.replace(
+        g,
+        R=g.R.at[:n].set(jnp.asarray(est[:, :3, :3])),
+        p=g.p.at[:n].set(jnp.asarray(est[:, :3, 3])),
+        node_mask=g.node_mask.at[:n].set(True),
+        odom_rel_R=g.odom_rel_R.at[:n].set(jnp.asarray(rels[:, :3, :3])),
+        odom_rel_p=g.odom_rel_p.at[:n].set(jnp.asarray(rels[:, :3, 3])),
+        odom_info=g.odom_info.at[:n].set(jnp.eye(6, dtype=dtype) * 100.0),
+    )
+    # loop edges: (0, n-1) and an interior pair (7, 37) — 7 is NOT a block
+    # boundary for block sizes 8/16, exercising the in-block separator path
+    pairs = [(0, n - 1), (7, 37)][:n_loops]
+    for k, (i, j) in enumerate(pairs):
+        true_rel = np.linalg.inv(gt[i]) @ gt[j]
+        g = dataclasses.replace(
+            g,
+            loop_i=g.loop_i.at[k].set(i),
+            loop_j=g.loop_j.at[k].set(j),
+            loop_rel_R=g.loop_rel_R.at[k].set(jnp.asarray(true_rel[:3, :3])),
+            loop_rel_p=g.loop_rel_p.at[k].set(jnp.asarray(true_rel[:3, 3])),
+            loop_info=g.loop_info.at[k].set(jnp.eye(6, dtype=dtype) * 400.0),
+            loop_mask=g.loop_mask.at[k].set(True),
+        )
+    if gps_every:
+        g = dataclasses.replace(
+            g,
+            gps_xyz=g.gps_xyz.at[:n].set(jnp.asarray(gt[:, :3, 3])),
+            gps_info=g.gps_info.at[:n].set(25.0),
+            gps_mask=g.gps_mask.at[:n].set(
+                jnp.asarray(np.arange(n) % gps_every == 0)
+            ),
+        )
+    return g, gt, est, n
+
+
+def _grad_norm(gg_state):
+    import jax.numpy as jnp2
+
+    ei, ej, r, Ji, Jj, W, chi2 = global_graph.linearize(gg_state)
+    grad, diag = global_graph._build_rhs_and_diag(gg_state, ei, ej, r, Ji, Jj, W)
+    return float(jnp2.linalg.norm(grad)), float(chi2)
+
+
+@pytest.mark.parametrize("num_blocks", [4, 8])
+def test_reaches_exact_optimum(num_blocks):
+    """Each block-Schur GN step is an EXACT Newton step: the solver lands on
+    the true optimum (gradient ~ 0), which the 64-iteration Jacobi-PCG only
+    approaches. chi2 agrees; positions agree to the PCG's residual error."""
+    g, gt, est, n = drifted_graph()
+    g_pcg, chi2_pcg = global_graph.solve_pose_graph(g, gn_iters=8)
+    g_bs, chi2_bs = block_schur.solve_pose_graph_schur(g, num_blocks=num_blocks, gn_iters=8)
+    gn_bs, _ = _grad_norm(g_bs)
+    gn_pcg, _ = _grad_norm(g_pcg)
+    assert gn_bs < 1e-8, gn_bs
+    assert gn_bs < gn_pcg
+    np.testing.assert_allclose(float(chi2_bs), float(chi2_pcg), rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(g_bs.p[:n]), np.asarray(g_pcg.p[:n]), atol=0.5
+    )
+
+
+def test_corrects_drift():
+    g, gt, est, n = drifted_graph()
+    g_bs, _ = block_schur.solve_pose_graph_schur(g, num_blocks=8, gn_iters=8)
+    err0 = np.linalg.norm(est[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    err1 = np.linalg.norm(np.asarray(g_bs.p[n - 1]) - gt[n - 1][:3, 3])
+    assert err1 < 0.5 * err0
+
+
+def test_with_gps_priors():
+    g, gt, est, n = drifted_graph(gps_every=6)
+    g_bs, _ = block_schur.solve_pose_graph_schur(g, num_blocks=8, gn_iters=8)
+    gn_bs, _ = _grad_norm(g_bs)
+    # optimum of the edge residuals alone is not zero with GPS priors pulling;
+    # instead check it beats the drifted start and stays near GT
+    err = np.linalg.norm(np.asarray(g_bs.p[:n]) - gt[:n, :3, 3], axis=1)
+    err0 = np.linalg.norm(est[:, :3, 3] - gt[:n, :3, 3], axis=1)
+    assert err.mean() < 0.5 * err0.mean()
