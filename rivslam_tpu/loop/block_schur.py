@@ -229,3 +229,183 @@ def solve_pose_graph_schur(
     g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
     _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
     return g_out, chi2_fin
+
+
+def solve_pose_graph_schur_sharded(
+    g: gg.PoseGraph,
+    mesh,
+    axis: str = "model",
+    num_blocks: int = 16,
+    gn_iters: int = 8,
+    huber_delta: float = 1.0,
+):
+    """Distributed block-Schur BA: the per-submap interior eliminations (the
+    dominant cost) are sharded over `axis`; each device contributes its
+    blocks' reduced-system terms which combine by psum over ICI; the tiny
+    separator solve is replicated; back-substitution runs on each block's
+    owner. Identical math to solve_pose_graph_schur (cross-checked in tests).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    K = g.R.shape[0]
+    L = g.loop_i.shape[0]
+    S = num_blocks
+    n_dev = mesh.shape[axis]
+    assert K % S == 0 and S % n_dev == 0
+    B = K // S
+    dtype = g.p.dtype
+    Pslots = 2 * S + 2 * L
+    Pdim = 6 * (Pslots + 1)
+    node_ids = jnp.arange(K)
+    blk_of = node_ids // B
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def eliminate(Hb, gb, D, sdim):
+        """Per-device: Schur-eliminate local blocks; psum reduced system."""
+        Dm = D[:, :, None] * D[:, None, :]
+        H_II = Hb * Dm + jax.vmap(jnp.diag)(1.0 - D)
+        H_IS = Hb * (D[:, :, None] * (1.0 - D)[:, None, :])
+        H_SS = Hb * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
+        g_I = gb * D
+        g_S = gb * (1.0 - D)
+        X = jnp.linalg.solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
+        HII_inv_HIS = X[:, :, :-1]
+        HII_inv_gI = X[:, :, -1]
+        S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
+        g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
+        H_sep = jnp.zeros((Pdim, Pdim), dtype=dtype)
+        H_sep = H_sep.at[sdim[:, :, None], sdim[:, None, :]].add(S_blk)
+        g_sep = jnp.zeros((Pdim,), dtype=dtype).at[sdim].add(g_blk)
+        # combine submap contributions over the interconnect
+        H_sep = jax.lax.psum(H_sep, axis)
+        g_sep = jax.lax.psum(g_sep, axis)
+        return H_sep, g_sep, HII_inv_HIS, HII_inv_gI
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D):
+        d_S_local = d_sep[sdim]
+        d_I = -HII_inv_gI - jnp.einsum("sij,sj->si", HII_inv_HIS, d_S_local)
+        return d_I * D + d_S_local * (1.0 - D)
+
+    @jax.jit
+    def run(R0, p0):
+        def gn_step(carry, _):
+            R, p = carry
+            gcur = dataclasses.replace(g, R=R, p=p)
+            ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
+            r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
+            chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+            w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+            w = w * mask.astype(dtype)
+            W = info * w[:, None, None]
+            chi2 = jnp.sum(chi2_e * w)
+            Wr = jnp.einsum("eij,ej->ei", W, r)
+            g_i = jnp.einsum("eji,ej->ei", Ji, Wr)
+            g_j = jnp.einsum("eji,ej->ei", Jj, Wr)
+            H_ii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
+            H_ij = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj)
+            H_jj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
+
+            sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
+            sep_mask = sep_mask.at[g.loop_i].set(
+                sep_mask[g.loop_i] | g.loop_mask
+            ).at[g.loop_j].set(sep_mask[g.loop_j] | g.loop_mask)
+            slot = _slot_of(node_ids, B, S, 2 * L)
+            li_slot = jnp.where(
+                _slot_of(g.loop_i, B, S, 2 * L) >= 0,
+                _slot_of(g.loop_i, B, S, 2 * L),
+                2 * S + 2 * jnp.arange(L),
+            )
+            lj_slot = jnp.where(
+                _slot_of(g.loop_j, B, S, 2 * L) >= 0,
+                _slot_of(g.loop_j, B, S, 2 * L),
+                2 * S + 2 * jnp.arange(L) + 1,
+            )
+            slot = slot.at[g.loop_i].set(jnp.where(g.loop_mask, li_slot, slot[g.loop_i]))
+            slot = slot.at[g.loop_j].set(jnp.where(g.loop_mask, lj_slot, slot[g.loop_j]))
+            slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, Pslots), Pslots)
+
+            same_block = blk_of[ei] == blk_of[ej]
+            intra = same_block & ~is_loop & mask
+            sep_edge = mask & ~intra
+            edge_blk = jnp.where(intra, blk_of[ej], S)
+            loc_i = (ei % B).astype(jnp.int32)
+            loc_j = (ej % B).astype(jnp.int32)
+
+            def scatter_block(vals, rows, cols, blkid):
+                out = jnp.zeros((S + 1, 6 * B, 6 * B), dtype=dtype)
+                ri = (rows * 6)[:, None] + jnp.arange(6)[None, :]
+                ci = (cols * 6)[:, None] + jnp.arange(6)[None, :]
+                return out.at[blkid[:, None, None], ri[:, :, None], ci[:, None, :]].add(vals)[:-1]
+
+            Hb = scatter_block(H_ii, loc_i, loc_i, edge_blk)
+            Hb = Hb + scatter_block(H_ij, loc_i, loc_j, edge_blk)
+            Hb = Hb + scatter_block(jnp.swapaxes(H_ij, 1, 2), loc_j, loc_i, edge_blk)
+            Hb = Hb + scatter_block(H_jj, loc_j, loc_j, edge_blk)
+            gb = jnp.zeros((S + 1, 6 * B), dtype=dtype)
+            gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
+            gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
+            gb = gb.at[edge_blk[:, None], gi_idx].add(g_i)
+            gb = gb.at[edge_blk[:, None], gj_idx].add(g_j)
+            gb = gb[:-1]
+
+            w_gps = g.gps_info * g.gps_mask[:, None].astype(dtype)
+            gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(dtype)
+            loc_n = (node_ids % B).astype(jnp.int32)
+            diag_idx = (loc_n * 6)[:, None] + jnp.arange(3)[None, :] + 3
+            Hb_flatdiag = jnp.zeros((S, 6 * B), dtype=dtype)
+            Hb_flatdiag = Hb_flatdiag.at[blk_of[:, None], diag_idx].add(w_gps)
+            Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
+            gb = gb.at[blk_of[:, None], diag_idx].add(w_gps * gps_r)
+            Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
+
+            sep_local = sep_mask.reshape(S, B)
+            D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)
+            slot_local = slot.reshape(S, B)
+            sdim = ((slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]).reshape(S, 6 * B)
+
+            # ---- sharded elimination + psum-reduced separator system
+            H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(Hb, gb, D, sdim)
+
+            si = jnp.where(sep_edge, slot[ei], Pslots)
+            sj = jnp.where(sep_edge, slot[ej], Pslots)
+            se_w = sep_edge.astype(dtype)
+            di = (si * 6)[:, None] + jnp.arange(6)[None, :]
+            dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
+            H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(H_ii * se_w[:, None, None])
+            H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(H_ij * se_w[:, None, None])
+            H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
+                jnp.swapaxes(H_ij, 1, 2) * se_w[:, None, None]
+            )
+            H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(H_jj * se_w[:, None, None])
+            g_sep = g_sep.at[di].add(g_i * se_w[:, None]).at[dj].add(g_j * se_w[:, None])
+            anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+            H_sep = H_sep.at[:6, :6].add(g.anchor_info)
+            g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
+            H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
+            d_sep = jnp.linalg.solve(H_sep, -g_sep[:, None])[:, 0]
+            d_sep = d_sep.at[6 * Pslots :].set(0.0)
+
+            d_local = back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
+            d = d_local.reshape(K, 6)
+            return (R @ lie.so3_exp(d[:, :3]), p + d[:, 3:]), chi2
+
+        (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (R0, p0), None, length=gn_iters)
+        return R_fin, p_fin
+
+    R_fin, p_fin = run(g.R, g.p)
+    g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
+    _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
+    return g_out, chi2_fin

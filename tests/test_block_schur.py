@@ -108,3 +108,18 @@ def test_with_gps_priors():
     err = np.linalg.norm(np.asarray(g_bs.p[:n]) - gt[:n, :3, 3], axis=1)
     err0 = np.linalg.norm(est[:, :3, 3] - gt[:n, :3, 3], axis=1)
     assert err.mean() < 0.5 * err0.mean()
+
+
+def test_sharded_matches_single_device():
+    """Distributed (submap-sharded, psum-combined) block-Schur equals the
+    single-device solver."""
+    from rivslam_tpu.dist import mesh as mesh_mod
+
+    g, gt, est, n = drifted_graph()
+    m = mesh_mod.make_mesh(1, 8)
+    g_s, chi2_s = block_schur.solve_pose_graph_schur(g, num_blocks=8, gn_iters=6)
+    g_d, chi2_d = block_schur.solve_pose_graph_schur_sharded(
+        g, m, num_blocks=8, gn_iters=6
+    )
+    np.testing.assert_allclose(np.asarray(g_d.p), np.asarray(g_s.p), atol=1e-8)
+    np.testing.assert_allclose(float(chi2_d), float(chi2_s), rtol=1e-8)
