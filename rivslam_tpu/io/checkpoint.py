@@ -93,6 +93,10 @@ def load(engine, directory: str) -> None:
 
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
+    if manifest.get("version") != 1:
+        raise ValueError(
+            f"unsupported checkpoint version {manifest.get('version')!r}"
+        )
     st = engine.state
     st.frame_idx = manifest["frame_idx"]
     st.kf_count = manifest["kf_count"]
