@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
     ap.add_argument("--out", required=True, help="output TUM trajectory file")
     ap.add_argument("--map", default=None, help="optional output map PCD")
+    ap.add_argument("--loop-candidates", type=int, default=None,
+                    help="verify top-k scan-context candidates per keyframe in one batched dispatch (default 1)")
     ap.add_argument("--ckpt", default=None, help="optional checkpoint dir to dump")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--capacity", type=int, default=1024)
@@ -65,6 +67,10 @@ def main(argv=None) -> int:
     if args.no_dynamic_removal:
         pp = dataclasses.replace(pp, enable_dynamic_object_removal=False)
     cfg = dataclasses.replace(cfg, preprocess=pp)
+    if args.loop_candidates is not None:
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, verify_candidates=args.loop_candidates)
+        )
     if args.use_ego_vel:
         cfg = dataclasses.replace(
             cfg, odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True)

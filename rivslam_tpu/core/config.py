@@ -233,6 +233,9 @@ class LoopConfig:
     num_candidates: int = 3  # Scancontext.h:123
     use_sc_yaw_guess: bool = False  # seed ICP verify with the SC yaw (the
     # reference computes yawDiffRad but leaves it unused, Scancontext.cpp:375)
+    verify_candidates: int = 1  # >1: registration-verify the top-k scan-context
+    # candidates in ONE vmapped dispatch and keep the best-fitness pass (the
+    # reference verifies only the single best match, loop_detector.cpp:219)
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
     global_solver: str = "SCHUR"  # SCHUR (exact block elimination) | PCG

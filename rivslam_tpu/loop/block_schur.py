@@ -50,7 +50,18 @@ def solve_pose_graph_schur(
     gn_iters: int = 8,
     huber_delta: float = 1.0,
 ):
-    """Gauss-Newton with per-iteration block-Schur elimination."""
+    """Gauss-Newton with per-iteration block-Schur elimination.
+
+    Forces float32 matmul precision: TPU default (bfloat16 passes) makes the
+    interior-block inverse H_II^-1 and the reduced separator system blow up
+    to NaN on real graphs — elimination chains condition numbers in a way
+    the iterative PCG path tolerates but direct factorization does not.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _schur_impl(g, num_blocks, gn_iters, huber_delta)
+
+
+def _schur_impl(g, num_blocks, gn_iters, huber_delta):
     K = g.R.shape[0]
     L = g.loop_i.shape[0]
     S = num_blocks
@@ -242,7 +253,8 @@ def solve_pose_graph_schur_sharded(
     """Distributed block-Schur BA: the per-submap interior eliminations (the
     dominant cost) are sharded over `axis`; each device contributes its
     blocks' reduced-system terms which combine by psum over ICI; the tiny
-    separator solve is replicated; back-substitution runs on each block's
+    separator solve is replicated (float32 matmul precision is forced for
+    the same conditioning reason as solve_pose_graph_schur); back-substitution runs on each block's
     owner. Identical math to solve_pose_graph_schur (cross-checked in tests).
     """
     from jax.sharding import PartitionSpec as P
@@ -405,7 +417,8 @@ def solve_pose_graph_schur_sharded(
         (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (R0, p0), None, length=gn_iters)
         return R_fin, p_fin
 
-    R_fin, p_fin = run(g.R, g.p)
+    with jax.default_matmul_precision("float32"):
+        R_fin, p_fin = run(g.R, g.p)
     g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
     _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
     return g_out, chi2_fin

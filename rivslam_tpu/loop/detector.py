@@ -115,6 +115,28 @@ def verify_loop(
     return res, ok
 
 
+def verify_loops_batch(
+    new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid,
+    reg_cfg: RegistrationConfig, cfg: LoopConfig,
+):
+    """Registration-verify B loop candidates in ONE vmapped dispatch (new
+    capability vs loop_detector.cpp:219-233, which aligns only the single
+    best scan-context match; the TPU batches the B solves on the MXU).
+
+    cand_xyz [B,N,3], cand_masks [B,N], yaws [B], valid [B]. Returns
+    (res with leading dim B, ok [B], best) where best = argmin fitness over
+    passing candidates (B if none pass — index arrays on host after gating).
+    """
+    def one(cx, cm, yaw):
+        return verify_loop(new_xyz, new_mask, cx, cm, reg_cfg, cfg, yaw_guess=yaw)
+
+    res, ok = jax.vmap(one)(cand_xyz, cand_masks, yaws)
+    ok = ok & valid
+    fit = jnp.where(ok, res.fitness, jnp.inf)
+    best = jnp.argmin(fit)
+    return res, ok, best
+
+
 def odometry_check(
     T_lc_ij: jax.Array,  # correction: new (j) -> cand (i) registration result
     odom_i: jax.Array,  # [4,4] odometry pose of candidate

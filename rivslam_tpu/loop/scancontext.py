@@ -117,20 +117,11 @@ def _all_shift_distances(query: jax.Array, cand: jax.Array) -> jax.Array:
     return 1.0 - jnp.sum(sim, axis=-1) / n_eff  # [C, S]
 
 
-def match(
-    db: ScanContextDB,
-    desc: jax.Array,
-    query_index: jax.Array,
-    cand_mask: jax.Array,
-    cfg: LoopConfig,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """detectLoopClosureID (Scancontext.cpp:272-379).
-
-    cand_mask [K]: externally allowed candidates (the detector's prefilter);
-    recent keyframes are additionally excluded here. Returns
-    (loop_idx int32 [-1 if none], yaw_diff_rad, min_dist)."""
+def _screened_shift_dists(db, desc, query_index, cand_mask, cfg):
+    """Shared screening for match/match_topk: ring-key top-C preselect, then
+    windowed shift-search distances. Returns (dists [C,S] with jnp.inf at
+    excluded shifts/candidates, cand_idx [C] db rows)."""
     K = db.desc.shape[0]
-    dtype = desc.dtype
     ids = jnp.arange(K)
     allowed = (
         cand_mask
@@ -163,6 +154,24 @@ def match(
     dists = _all_shift_distances(desc, cand_desc)  # [C, S]
     dists = jnp.where(in_window, dists, jnp.inf)
     dists = jnp.where(cand_ok[:, None], dists, jnp.inf)
+    return dists, cand_idx
+
+
+def match(
+    db: ScanContextDB,
+    desc: jax.Array,
+    query_index: jax.Array,
+    cand_mask: jax.Array,
+    cfg: LoopConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """detectLoopClosureID (Scancontext.cpp:272-379).
+
+    cand_mask [K]: externally allowed candidates (the detector's prefilter);
+    recent keyframes are additionally excluded here. Returns
+    (loop_idx int32 [-1 if none], yaw_diff_rad, min_dist)."""
+    dists, cand_idx = _screened_shift_dists(db, desc, query_index, cand_mask, cfg)
+    S = cfg.num_sector
+    dtype = desc.dtype
     best_flat = jnp.argmin(dists.reshape(-1))
     best_c = best_flat // S
     best_shift = best_flat % S
@@ -173,3 +182,33 @@ def match(
     found = min_dist < cfg.sc_dist_thresh
     loop_idx = jnp.where(found, cand_idx[best_c], -1).astype(jnp.int32)
     return loop_idx, yaw_diff, min_dist
+
+
+def match_topk(
+    db: ScanContextDB,
+    desc: jax.Array,
+    query_index: jax.Array,
+    cand_mask: jax.Array,
+    cfg: LoopConfig,
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Top-k variant of :func:`match` for batched loop verification (a new
+    capability: loop_detector.cpp:219 verifies only the single best match).
+
+    Returns (idx int32 [k] with -1 padding, yaw_rad [k], dist [k],
+    valid bool [k]): the k screened candidates ranked by best-shift
+    scan-context distance, each gated on sc_dist_thresh."""
+    dists, cand_idx = _screened_shift_dists(db, desc, query_index, cand_mask, cfg)
+    S = cfg.num_sector
+    dtype = desc.dtype
+    per_cand = jnp.min(dists, axis=-1)  # [C]
+    per_shift = jnp.argmin(dists, axis=-1)  # [C]
+    k = min(k, cfg.num_candidates)
+    neg, order = jax.lax.top_k(-per_cand, k)
+    min_dist = -neg
+    shift = per_shift[order]
+    unit_sector = (2 * cfg.sc_azimuth_range_deg + 0.1) / S
+    yaw = jnp.deg2rad(shift.astype(dtype) * unit_sector)
+    valid = jnp.isfinite(min_dist) & (min_dist < cfg.sc_dist_thresh)
+    idx = jnp.where(valid, cand_idx[order], -1).astype(jnp.int32)
+    return idx, yaw, min_dist, valid

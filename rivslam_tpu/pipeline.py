@@ -112,6 +112,20 @@ class Engine:
             )
 
         @jax.jit
+        def _sc_match_topk(db, xyz, intensity, mask, qidx, cand_mask):
+            d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
+            return scancontext.match_topk(
+                db, d, qidx, cand_mask, c.loop, c.loop.verify_candidates
+            )
+
+        @jax.jit
+        def _verify_batch(new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid):
+            return detector.verify_loops_batch(
+                new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid,
+                c.registration, c.loop,
+            )
+
+        @jax.jit
         def _solve_graph(g):
             if c.loop.global_solver == "SCHUR":
                 from rivslam_tpu.loop import block_schur
@@ -168,7 +182,9 @@ class Engine:
         self._frame_step = _frame_step
         self._sc_insert = _sc_insert
         self._sc_match = _sc_match
+        self._sc_match_topk = _sc_match_topk
         self._verify = _verify
+        self._verify_batch = _verify_batch
         self._solve_graph = _solve_graph
         self._edge_info = _edge_info
 
@@ -380,17 +396,39 @@ class Engine:
             jnp.asarray(st.last_loop_accum, self.dtype),
             c.loop,
         )
-        idx, yaw, dist = self._sc_match(
-            st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
-        )
-        idx = int(idx)
-        if idx < 0:
-            return False
-        # registration verification
-        cand_xyz, cand_mask = st.kf_clouds[idx]
-        res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask, yaw)
-        if not bool(ok):
-            return False
+        if c.loop.verify_candidates > 1:
+            # batched path: registration-verify the top-k SC candidates in one
+            # vmapped dispatch, keep the best-fitness pass
+            idxs, yaws, dists, valid = self._sc_match_topk(
+                st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
+            )
+            idxs_h = np.asarray(idxs)
+            if not bool(np.any(idxs_h >= 0)):
+                return False
+            gather = [max(int(i), 0) for i in idxs_h]
+            cands_xyz = jnp.stack([st.kf_clouds[i][0] for i in gather])
+            cands_mask = jnp.stack([st.kf_clouds[i][1] for i in gather])
+            bres, oks, best = self._verify_batch(
+                cl.xyz, cl.mask, cands_xyz, cands_mask, yaws, valid
+            )
+            if not bool(np.any(np.asarray(oks))):
+                return False
+            b = int(best)
+            idx = int(idxs_h[b])
+            res = jax.tree.map(lambda x: x[b], bres)
+            cand_xyz, cand_mask = st.kf_clouds[idx]
+        else:
+            idx, yaw, dist = self._sc_match(
+                st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
+            )
+            idx = int(idx)
+            if idx < 0:
+                return False
+            # registration verification
+            cand_xyz, cand_mask = st.kf_clouds[idx]
+            res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask, yaw)
+            if not bool(ok):
+                return False
         # odometry check: T_lc maps new cloud into candidate frame
         T_lc = res.T  # new (j=k) -> cand (i=idx)
         odom_i = lie.se3_matrix(st.graph.R[idx], st.graph.p[idx])
