@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
     ap.add_argument("--out", required=True, help="output TUM trajectory file")
     ap.add_argument("--map", default=None, help="optional output map PCD")
+    ap.add_argument("--preset", default=None,
+                    help="dataset preset (ntu4dradlm|cp|nyl|garden|mine|hugin|sjtu|long)")
     ap.add_argument("--loop-candidates", type=int, default=None,
                     help="verify top-k scan-context candidates per keyframe in one batched dispatch (default 1)")
     ap.add_argument("--ckpt", default=None, help="optional checkpoint dir to dump")
@@ -54,7 +56,12 @@ def main(argv=None) -> int:
 
     import dataclasses
 
-    cfg = EngineConfig()
+    if args.preset:
+        from rivslam_tpu import presets
+
+        cfg = presets.get(args.preset)
+    else:
+        cfg = EngineConfig()
     if args.method:
         cfg = dataclasses.replace(
             cfg, registration=dataclasses.replace(cfg.registration, method=args.method)

@@ -233,6 +233,8 @@ class LoopConfig:
     num_candidates: int = 3  # Scancontext.h:123
     use_sc_yaw_guess: bool = False  # seed ICP verify with the SC yaw (the
     # reference computes yawDiffRad but leaves it unused, Scancontext.cpp:375)
+    compact_on_full: bool = True  # halve the graph when keyframe_capacity
+    # fills (compose odometry edges across dropped nodes) instead of freezing
     verify_candidates: int = 1  # >1: registration-verify the top-k scan-context
     # candidates in ONE vmapped dispatch and keep the best-fitness pass (the
     # reference verifies only the single best match, loop_detector.cpp:219)

@@ -228,3 +228,90 @@ def solve_pose_graph(
     g_fin, chi2s = jax.lax.scan(gn_step, g, None, length=gn_iters)
     _, _, _, _, _, _, chi2_fin = linearize(g_fin, huber_delta)
     return g_fin, chi2_fin
+
+
+def compact(g: PoseGraph, keep, kf_count: int):
+    """Compact the graph to the `keep` subset of nodes (capacity-overflow
+    policy — a new capability: the reference's g2o graph grows unbounded,
+    radar_graph_slam_nodelet.cpp keeps every keyframe forever).
+
+    keep must be sorted, include node 0 and kf_count-1, and include every
+    active loop endpoint (so loop measurements carry over exactly). Odometry
+    edges across dropped nodes are composed: T_ab = prod_{t=a+1..b} rel_t,
+    with the segment information approximated as mean(info_t)/len(segment)
+    (covariances add along a chain; exact composition would need adjoint
+    transport of each step's covariance).
+
+    Runs on the host in numpy — compaction is a rare O(capacity) event, not
+    a per-frame op. Returns (new_graph, old->new index map as a dict).
+    """
+    import numpy as onp
+
+    keep = onp.asarray(keep, dtype=onp.int64)
+    n = int(kf_count)
+    assert keep[0] == 0 and keep[-1] == n - 1
+    dtype = onp.asarray(g.p).dtype
+    K = g.R.shape[0]
+    m = len(keep)
+    old2new = {int(o): i for i, o in enumerate(keep)}
+
+    R = onp.asarray(g.R)
+    p = onp.asarray(g.p)
+    rel_R = onp.asarray(g.odom_rel_R)
+    rel_p = onp.asarray(g.odom_rel_p)
+    info = onp.asarray(g.odom_info)
+
+    eyeK = onp.broadcast_to(onp.eye(3, dtype=dtype), (K, 3, 3)).copy()
+    new_R = eyeK.copy()
+    new_p = onp.zeros((K, 3), dtype=dtype)
+    new_rel_R = eyeK.copy()
+    new_rel_p = onp.zeros((K, 3), dtype=dtype)
+    new_info = onp.broadcast_to(onp.eye(6, dtype=dtype), (K, 6, 6)).copy()
+    new_mask = onp.zeros(K, dtype=bool)
+
+    new_R[:m] = R[keep]
+    new_p[:m] = p[keep]
+    new_mask[:m] = True
+    for i in range(1, m):
+        a, b = int(keep[i - 1]), int(keep[i])
+        T = onp.eye(4, dtype=dtype)
+        for t in range(a + 1, b + 1):
+            Tt = onp.eye(4, dtype=dtype)
+            Tt[:3, :3] = rel_R[t]
+            Tt[:3, 3] = rel_p[t]
+            T = T @ Tt
+        new_rel_R[i] = T[:3, :3]
+        new_rel_p[i] = T[:3, 3]
+        seg = info[a + 1 : b + 1]
+        new_info[i] = seg.mean(axis=0) / len(seg)
+
+    loop_i = onp.asarray(g.loop_i).copy()
+    loop_j = onp.asarray(g.loop_j).copy()
+    lmask = onp.asarray(g.loop_mask)
+    for e in range(len(loop_i)):
+        if lmask[e]:
+            loop_i[e] = old2new[int(loop_i[e])]
+            loop_j[e] = old2new[int(loop_j[e])]
+
+    gps_xyz = onp.zeros_like(onp.asarray(g.gps_xyz))
+    gps_info = onp.ones_like(onp.asarray(g.gps_info))
+    gps_mask = onp.zeros(K, dtype=bool)
+    gps_xyz[:m] = onp.asarray(g.gps_xyz)[keep]
+    gps_info[:m] = onp.asarray(g.gps_info)[keep]
+    gps_mask[:m] = onp.asarray(g.gps_mask)[keep]
+
+    new_g = dataclasses.replace(
+        g,
+        R=jnp.asarray(new_R),
+        p=jnp.asarray(new_p),
+        node_mask=jnp.asarray(new_mask),
+        odom_rel_R=jnp.asarray(new_rel_R),
+        odom_rel_p=jnp.asarray(new_rel_p),
+        odom_info=jnp.asarray(new_info),
+        loop_i=jnp.asarray(loop_i, jnp.int32),
+        loop_j=jnp.asarray(loop_j, jnp.int32),
+        gps_xyz=jnp.asarray(gps_xyz),
+        gps_info=jnp.asarray(gps_info),
+        gps_mask=jnp.asarray(gps_mask),
+    )
+    return new_g, old2new

@@ -212,3 +212,25 @@ def match_topk(
     valid = jnp.isfinite(min_dist) & (min_dist < cfg.sc_dist_thresh)
     idx = jnp.where(valid, cand_idx[order], -1).astype(jnp.int32)
     return idx, yaw, min_dist, valid
+
+
+def compact(db: ScanContextDB, keep) -> ScanContextDB:
+    """Move the `keep` subset of descriptor rows to the front (graph
+    compaction companion of :func:`global_graph.compact`); host-side numpy,
+    rare event."""
+    import numpy as onp
+
+    keep = onp.asarray(keep, dtype=onp.int64)
+    m = len(keep)
+    desc = onp.zeros_like(onp.asarray(db.desc))
+    rk = onp.zeros_like(onp.asarray(db.ring_key))
+    sk = onp.zeros_like(onp.asarray(db.sector_key))
+    desc[:m] = onp.asarray(db.desc)[keep]
+    rk[:m] = onp.asarray(db.ring_key)[keep]
+    sk[:m] = onp.asarray(db.sector_key)[keep]
+    return ScanContextDB(
+        desc=jnp.asarray(desc),
+        ring_key=jnp.asarray(rk),
+        sector_key=jnp.asarray(sk),
+        count=jnp.asarray(m, jnp.int32),
+    )

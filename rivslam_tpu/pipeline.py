@@ -288,6 +288,43 @@ class Engine:
             "status": status,
         }
 
+    def _compact_keyframes(self) -> None:
+        """Halve the loop graph when keyframe capacity fills: keep the anchor,
+        every active loop endpoint, the recent num_exclude_recent tail, and
+        every other node elsewhere; compose odometry edges across the dropped
+        nodes (global_graph.compact). New capability — the reference keeps
+        every keyframe forever and OOMs on long runs."""
+        st = self.state
+        c = self.cfg
+        n = st.kf_count
+        if n < 4 or st.graph is None:
+            return
+        keep = set(range(0, n, 2))
+        keep.add(0)
+        keep.add(n - 1)
+        # protect the recent tail, but never so much that compaction stalls
+        tail = min(c.loop.num_exclude_recent, max(1, n // 4))
+        keep.update(range(max(0, n - tail), n))
+        lmask = np.asarray(st.graph.loop_mask)
+        li = np.asarray(st.graph.loop_i)
+        lj = np.asarray(st.graph.loop_j)
+        for e in range(len(lmask)):
+            if lmask[e]:
+                keep.add(int(li[e]))
+                keep.add(int(lj[e]))
+        keep = sorted(i for i in keep if i < n)
+        if len(keep) >= n:
+            return
+        st.graph, _ = global_graph.compact(st.graph, keep, n)
+        st.scdb = scancontext.compact(st.scdb, keep)
+        st.kf_clouds = [st.kf_clouds[i] for i in keep]
+        st.kf_stamps = [st.kf_stamps[i] for i in keep]
+        st.kf_accum = [st.kf_accum[i] for i in keep]
+        st.kf_odom = [st.kf_odom[i] for i in keep]
+        st.kf_count = len(keep)
+        # pairwise-consistency memory references old indices; drop it
+        st.prev_loop = None
+
     @staticmethod
     def _scan_matching_status(oout) -> dict:
         n = float(np.asarray(oout.reg.num_correspondences))
@@ -339,7 +376,11 @@ class Engine:
         k = st.kf_count
         K = c.loop.keyframe_capacity
         if k >= K:
-            return False  # capacity exhausted; keep running without new loops
+            if c.loop.compact_on_full:
+                self._compact_keyframes()
+                k = st.kf_count
+            if k >= K:
+                return False  # could not shrink; keep running without new loops
 
         # insert keyframe into the global graph (odometry chain). The edge
         # measurement is the RAW odometry delta; the node's initial estimate

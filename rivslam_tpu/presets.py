@@ -1,0 +1,111 @@
+"""Named per-dataset engine presets.
+
+The reference selects datasets through `radar_dataset` (launch:9) which picks
+the radar input callback (preprocessing_nodelet.cpp:66-80: "eagle" 4D-radar
+pointclouds, "hugin" field clouds with a swapped coordinate convention, any
+other name = generic PointCloud2) plus bag-specific topics. Here the format
+shims live in io/ (datasets.eagle_channels_to_frame / hugin_fields_to_frame,
+rosbag1.convert_bag auto-detect); a preset bundles the matching EngineConfig
+knobs and the converter format string so a reference user can switch by name.
+
+Values are the launch-file defaults (already the config defaults) with
+per-dataset deltas documented inline. Capacity knobs are TPU-specific (static
+shapes) and sized from the datasets' published scan densities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from rivslam_tpu.core.config import (
+    EngineConfig,
+    LoopConfig,
+    OdometryConfig,
+    PreprocessConfig,
+)
+
+
+def _base() -> EngineConfig:
+    return EngineConfig()
+
+
+def ntu4dradlm(sequence: str = "cp") -> EngineConfig:
+    """NTU4DRadLM (Oculii Eagle radar, 'eagle' dataset path).
+
+    Launch defaults apply directly; the cp/nyl handheld sequences are
+    slow-moving (~1-2 m/s) while garden is a cart. Radar frames carry
+    ~1000-1500 targets -> raw capacity 2048 is ample.
+    """
+    cfg = _base()
+    if sequence in ("cp", "nyl"):
+        # handheld: smaller keyframe spacing keeps the odometry chain dense
+        cfg = dataclasses.replace(
+            cfg,
+            odometry=dataclasses.replace(cfg.odometry, keyframe_delta_trans=0.5),
+        )
+    return cfg
+
+
+def mine_and_forest() -> EngineConfig:
+    """MineAndForest (Sensrad Hugin radar, 'hugin' dataset path).
+
+    The coordinate swap (x,y,z) <- (y,-x,z) is applied by
+    io/datasets.hugin_fields_to_frame (preprocessing_nodelet.cpp:237-243);
+    underground galleries have dense multipath -> keep RADIUS outlier removal
+    and dynamic-object removal on, and use the frontend ego-velocity prior
+    (the paper's mine runs enable it).
+    """
+    cfg = _base()
+    return dataclasses.replace(
+        cfg,
+        preprocess=dataclasses.replace(
+            cfg.preprocess, outlier_removal_method="RADIUS"
+        ),
+        odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True),
+    )
+
+
+def sjtu_scan_extended() -> EngineConfig:
+    """Generic msgs_radar/RadarScanExtended bags (spherical targets).
+
+    Converted by io/rosbag1.parse_radar_scan_extended (targets_to_xyz applies
+    the reference's negated-z spherical convention).
+    """
+    return _base()
+
+
+def long_run() -> EngineConfig:
+    """Multi-km sessions: larger loop graph + compaction headroom."""
+    cfg = _base()
+    return dataclasses.replace(
+        cfg,
+        loop=dataclasses.replace(
+            cfg.loop, keyframe_capacity=4096, loop_capacity=64
+        ),
+    )
+
+
+_PRESETS = {
+    "ntu4dradlm": ntu4dradlm,
+    "cp": lambda: ntu4dradlm("cp"),
+    "nyl": lambda: ntu4dradlm("nyl"),
+    "garden": lambda: ntu4dradlm("garden"),
+    "mine": mine_and_forest,
+    "hugin": mine_and_forest,
+    "sjtu": sjtu_scan_extended,
+    "long": long_run,
+}
+
+
+def names() -> list[str]:
+    return sorted(_PRESETS)
+
+
+def get(name: str) -> EngineConfig:
+    """Resolve a preset by name; raises ValueError listing valid names."""
+    try:
+        return _PRESETS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {', '.join(names())}"
+        ) from None
