@@ -93,23 +93,18 @@ def main(argv=None) -> int:
         loader = native.PrefetchLoader(ns, capacity=args.capacity)
         from rivslam_tpu.core.pointcloud import RadarCloud
 
-        prev_t = None
-        for idx, stamp, xyz, dop, inten, mask in loader:
+        while True:
+            item = loader.next_aligned(args.imu_capacity)
+            if item is None:
+                break
+            idx, stamp, xyz, dop, inten, mask, dts, acc, gyr, m = item
             cloud = RadarCloud(
                 xyz=jnp.asarray(xyz, eng.dtype),
                 doppler=jnp.asarray(dop, eng.dtype),
                 intensity=jnp.asarray(inten, eng.dtype),
                 mask=jnp.asarray(mask),
             )
-            t0 = prev_t if prev_t is not None else stamp - 0.1
-            k, stamps, acc, gyr = ns.imu_between(t0, stamp, args.imu_capacity)
-            dts = np.zeros(args.imu_capacity)
-            if k:
-                dts[:k] = np.diff(np.concatenate([[t0], stamps[:k]])).clip(1e-4, 0.05)
-            m = np.zeros(args.imu_capacity, dtype=bool)
-            m[:k] = True
             eng.process_frame(cloud, stamp, dts, acc, gyr, m)
-            prev_t = stamp
             if idx % 50 == 0:
                 print(f"frame {idx}/{ns.num_frames}", file=sys.stderr)
         eng.finalize()

@@ -62,6 +62,11 @@ def get_lib() -> ctypes.CDLL:
     lib.rivbin_loader_create.argtypes = [c.c_void_p, c.c_int64, c.c_int, c.c_int]
     lib.rivbin_loader_next.restype = c.c_int64
     lib.rivbin_loader_next.argtypes = [c.c_void_p, f32p, f32p, f32p, u8p, f64p]
+    lib.rivbin_loader_next_aligned.restype = c.c_int64
+    lib.rivbin_loader_next_aligned.argtypes = [
+        c.c_void_p, f32p, f32p, f32p, u8p, f64p,
+        c.c_int64, f64p, f32p, f32p, u8p, i64p,
+    ]
     lib.rivbin_loader_destroy.argtypes = [c.c_void_p]
     _lib = lib
     return lib
@@ -155,6 +160,33 @@ class PrefetchLoader:
         if idx < 0:
             raise StopIteration
         return int(idx), float(stamp[0]), xyz, dop, inten, mask.astype(bool)
+
+    def next_aligned(self, imu_capacity: int):
+        """Next frame + its natively-aligned IMU window.
+
+        Returns (idx, stamp, xyz, dop, inten, mask, imu_dts, imu_acc,
+        imu_gyr, imu_mask) — exactly the per-frame inputs of
+        Engine.process_frame — or None at end of sequence. The dt clamp
+        [1e-4, 0.05] matches io/datasets.imu_between.
+        """
+        xyz = np.empty((self.capacity, 3), dtype=np.float32)
+        dop = np.empty(self.capacity, dtype=np.float32)
+        inten = np.empty(self.capacity, dtype=np.float32)
+        mask = np.empty(self.capacity, dtype=np.uint8)
+        stamp = np.zeros(1, dtype=np.float64)
+        dts = np.zeros(imu_capacity, dtype=np.float64)
+        acc = np.zeros((imu_capacity, 3), dtype=np.float32)
+        gyr = np.zeros((imu_capacity, 3), dtype=np.float32)
+        imask = np.zeros(imu_capacity, dtype=np.uint8)
+        count = np.zeros(1, dtype=np.int64)
+        idx = self._lib.rivbin_loader_next_aligned(
+            self._h, xyz, dop, inten, mask, stamp,
+            imu_capacity, dts, acc, gyr, imask, count,
+        )
+        if idx < 0:
+            return None
+        return (int(idx), float(stamp[0]), xyz, dop, inten,
+                mask.astype(bool), dts, acc, gyr, imask.astype(bool))
 
     def close(self):
         if self._h:

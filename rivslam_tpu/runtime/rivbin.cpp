@@ -88,6 +88,8 @@ struct Loader {
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> scheduled{0};
+  double last_emitted_stamp = -1.0;
+  bool emitted_any = false;
 
   void worker() {
     for (;;) {
@@ -307,6 +309,50 @@ int64_t rivbin_loader_next(void* loader, float* xyz, float* doppler,
   std::memcpy(mask, f.mask.data(), f.mask.size());
   *stamp = f.stamp;
   return f.index;
+}
+
+// blocking: next frame in order, plus its IMU window aligned natively.
+// The window is (prev_frame_stamp, stamp] (first frame: stamp-0.1), padded to
+// imu_capacity; dts are successive differences clamped to [1e-4, 0.05]
+// (utility_radar.h imuDeque consumption semantics — samples more than 50 ms
+// apart are treated as 50 ms so one dropout cannot blow up preintegration).
+// Returns frame index or -1 at end; *imu_count gets the sample count.
+int64_t rivbin_loader_next_aligned(void* loader, float* xyz, float* doppler,
+                                   float* intensity, uint8_t* mask,
+                                   double* stamp, int64_t imu_capacity,
+                                   double* imu_dts, float* imu_acc,
+                                   float* imu_gyr, uint8_t* imu_mask,
+                                   int64_t* imu_count) {
+  auto* l = static_cast<Loader*>(loader);
+  const int64_t idx =
+      rivbin_loader_next(loader, xyz, doppler, intensity, mask, stamp);
+  if (idx < 0) return idx;
+  const double t1 = *stamp;
+  double t0;
+  {
+    std::unique_lock<std::mutex> lk(l->mu);
+    t0 = l->emitted_any ? l->last_emitted_stamp : t1 - 0.1;
+    l->last_emitted_stamp = t1;
+    l->emitted_any = true;
+  }
+  std::memset(imu_dts, 0, imu_capacity * sizeof(double));
+  std::memset(imu_acc, 0, imu_capacity * 3 * sizeof(float));
+  std::memset(imu_gyr, 0, imu_capacity * 3 * sizeof(float));
+  std::memset(imu_mask, 0, imu_capacity);
+  std::vector<double> stamps(imu_capacity, 0.0);
+  const int64_t k = rivbin_imu_between(l->seq, t0, t1, imu_capacity,
+                                       stamps.data(), imu_acc, imu_gyr);
+  double prev = t0;
+  for (int64_t i = 0; i < k; ++i) {
+    double dt = stamps[i] - prev;
+    if (dt < 1e-4) dt = 1e-4;
+    if (dt > 0.05) dt = 0.05;
+    imu_dts[i] = dt;
+    imu_mask[i] = 1;
+    prev = stamps[i];
+  }
+  *imu_count = k;
+  return idx;
 }
 
 void rivbin_loader_destroy(void* loader) {

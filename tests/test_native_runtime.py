@@ -80,3 +80,32 @@ def test_prefetch_loader_in_order(rivbin_file):
     assert seen == list(range(seq.num_frames))
     loader.close()
     ns.close()
+
+
+def test_aligned_loader_matches_python_path(rivbin_file):
+    """next_aligned must reproduce the Python imu_between + clamp pipeline."""
+    path, seq = rivbin_file
+    ns = native.NativeSequence(path)
+    loader = native.PrefetchLoader(ns, capacity=128, threads=2, max_queue=4)
+    IMU_CAP = 32
+    prev_t = None
+    n_seen = 0
+    while True:
+        item = loader.next_aligned(IMU_CAP)
+        if item is None:
+            break
+        idx, stamp, xyz, dop, inten, mask, dts, acc, gyr, imask = item
+        t0 = prev_t if prev_t is not None else stamp - 0.1
+        k, stamps, acc_ref, gyr_ref = ns.imu_between(t0, stamp, IMU_CAP)
+        assert int(imask.sum()) == k
+        if k:
+            ref_dts = np.diff(np.concatenate([[t0], stamps[:k]])).clip(1e-4, 0.05)
+            np.testing.assert_allclose(dts[:k], ref_dts, atol=1e-12)
+            np.testing.assert_allclose(acc[:k], acc_ref[:k], rtol=1e-6)
+            np.testing.assert_allclose(gyr[:k], gyr_ref[:k], rtol=1e-6)
+        assert np.all(dts[k:] == 0.0) and not imask[k:].any()
+        prev_t = stamp
+        n_seen += 1
+    assert n_seen == seq.num_frames
+    loader.close()
+    ns.close()
