@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 33.0
-BATCH = 64
+BATCH = 256
 ROUNDS = 4
 CAPACITY = 1024
 
