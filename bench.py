@@ -39,7 +39,11 @@ def main():
     from rivslam_tpu.frontend import apdgicp
     from rivslam_tpu.io import synthetic
 
-    cfg = RegistrationConfig()  # launch-file runtime params (eps=0.1 etc.)
+    import os
+
+    cfg = RegistrationConfig(
+        optimizer=os.environ.get("RIVSLAM_BENCH_OPT", "LM"),
+    )  # launch-file runtime params (eps=0.1 etc.)
 
     rng = np.random.default_rng(0)
     world = synthetic.make_world(rng, n_points=20000)
