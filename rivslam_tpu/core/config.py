@@ -85,7 +85,11 @@ class ReveConfig:
 class RegistrationConfig:
     """APDGICP / GICP registration (launch:92-107, fast_apdgicp defaults)."""
 
-    method: str = "FAST_APDGICP"  # FAST_APDGICP | FAST_GICP | VGICP (voxel)
+    # registrations.cpp:38-140 factory: FAST_APDGICP | FAST_GICP | GICP |
+    # GICP_OMP | ICP | VGICP | FAST_VGICP | FAST_VGICP_CUDA | NDT | NDT_OMP |
+    # NDT_CUDA (the _OMP/_CUDA splits are CPU/GPU threading details; one TPU
+    # implementation serves each family)
+    method: str = "FAST_APDGICP"
     k_correspondences: int = 20  # fast_apdgicp_impl.hpp:21
     max_correspondence_distance: float = 2.0  # launch:99
     # adaptive probability-distribution covariance params (launch:34-36)

@@ -188,6 +188,10 @@ def _correspondences(T, source: PreparedCloud, target: PreparedCloud, cfg: Regis
     R = T[..., :3, :3]
     rcr = (cov_B + cd) + jnp.einsum("ij,...jk,lk->...il", R, cov_A + cd, R)
     mah = _inv3(rcr)
+    if cfg.method == "ICP":
+        # plain point-to-point ICP (registrations.cpp:52 pcl::ICP): identity
+        # weighting instead of the Mahalanobis metric
+        mah = jnp.broadcast_to(jnp.eye(3, dtype=mah.dtype), mah.shape)
     mah = jnp.where(corr[..., None, None], mah, 0.0)
     return idx, corr, mah, d2
 
@@ -387,8 +391,23 @@ def prepare(xyz, mask, cfg: RegistrationConfig) -> PreparedCloud:
 def register_dispatch(
     source: PreparedCloud, target: PreparedCloud, guess, cfg: RegistrationConfig
 ) -> RegistrationResult:
-    """Registration honoring cfg.use_fast_path."""
-    if cfg.use_fast_path and cfg.method in ("FAST_APDGICP", "FAST_GICP"):
+    """Method factory — select_registration_method parity
+    (registrations.cpp:38-140). FAST_APDGICP/FAST_GICP take the SoA fast
+    path; GICP/GICP_OMP are the same math as FAST_GICP here (the _OMP split
+    is a CPU threading detail); ICP drops the Mahalanobis metric; VGICP/NDT
+    voxelize the target."""
+    m = cfg.method
+    if m in ("VGICP", "FAST_VGICP", "FAST_VGICP_CUDA", "NDT", "NDT_OMP", "NDT_CUDA"):
+        from rivslam_tpu.frontend import vgicp
+
+        vm = vgicp.build_voxel_map(target.xyz, target.mask, cfg)
+        if m.endswith("VGICP") or m == "FAST_VGICP_CUDA":
+            return vgicp.register_vgicp(source, vm, guess, cfg)
+        return vgicp.register_ndt(
+            source.xyz, source.mask, vm, guess, cfg,
+            src_capacity=source.xyz.shape[-2],
+        )
+    if cfg.use_fast_path and m in ("FAST_APDGICP", "FAST_GICP", "GICP", "GICP_OMP"):
         from rivslam_tpu.frontend import apdgicp_fast
 
         return apdgicp_fast.register_fast(source, target, guess, cfg)
