@@ -40,6 +40,16 @@ class PreprocessConfig:
     enable_dynamic_object_removal: bool = True
     enable_deskew: bool = True  # reference deskews whenever IMU is available
     scan_period: float = 0.0833  # ros_utils.hpp:17
+    # under-floor removal (launch:14 enable_under_floor_removal, default true
+    # there): odometry consumes the cloud with points below the detected
+    # floor plane (+floor_tolerance margin) removed
+    # (scan_matching_odometry_nodelet.cpp:87-92, floor_detection_nodelet.cpp
+    # :132-137). Off by default HERE (documented divergence): before the
+    # first successful floor fit the reference falls back to the plane
+    # [0,0,1,0], which deletes everything below sensor height — fine on real
+    # ground-rich data, destructive on floor-less synthetic scenes. The
+    # real-data presets (presets.py) turn it on.
+    enable_under_floor_removal: bool = False
     # static capacities (TPU): raw scan and filtered scan
     raw_capacity: int = 2048
     filtered_capacity: int = 1024
@@ -146,6 +156,7 @@ class FloorConfig:
     ransac_iterations: int = 128
     ransac_distance_thresh: float = 0.06  # floor_detection_nodelet.cpp:183
     floor_normal_thresh_deg: float = 10.0  # verticality check
+    floor_tolerance: float = 0.1  # under-floor clip margin (floor_detection_nodelet.cpp:70)
 
 
 @dataclasses.dataclass(frozen=True)

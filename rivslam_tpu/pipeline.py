@@ -42,6 +42,7 @@ class EngineState:
     kf_stamps: list = dataclasses.field(default_factory=list)
     kf_accum: list = dataclasses.field(default_factory=list)
     kf_odom: list = dataclasses.field(default_factory=list)  # raw odometry 4x4
+    floor_prev: object = None  # [4] fallback plane chain (initial [0,0,1,0])
     trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
 
 
@@ -57,7 +58,7 @@ class Engine:
         c = cfg
 
         @jax.jit
-        def _preprocess(cloud: RadarCloud, ang_vel, key):
+        def _preprocess(cloud: RadarCloud, ang_vel, key, prev_floor):
             cl = filters.nan_filter(cloud)
             cl = filters.power_filter(cl, c.preprocess.power_threshold)
             ego = reve.estimate_ego_velocity(cl, c.reve, key)
@@ -83,9 +84,16 @@ class Engine:
                 cl = filters.bilateral_filter(
                     cl, c.preprocess.bilateral_sigma_s, c.preprocess.bilateral_sigma_r
                 )
-            prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
             fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
-            return cl, ego, prepared, fl, dynamic_mask
+            # floor fallback chain (floor_detection_nodelet.cpp:100-130):
+            # detected -> previous -> initial plane; under-floor removal
+            # clips the odometry input against it (+tolerance margin)
+            eff_floor = jnp.where(fl.found, fl.coeffs, prev_floor)
+            if c.preprocess.enable_under_floor_removal:
+                sd = cl.xyz @ eff_floor[:3] + eff_floor[3] + c.floor.floor_tolerance
+                cl = cl.and_mask(sd > 0)
+            prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
+            return cl, ego, prepared, fl, dynamic_mask, eff_floor
 
         @jax.jit
         def _odometry(odo_state, prepared, ego_v, t):
@@ -145,11 +153,13 @@ class Engine:
 
         @jax.jit
         def _frame_step(odo_state, bk_state, cloud, ang_vel, stamp,
-                        imu_dts, imu_acc, imu_gyr, imu_mask, key):
+                        imu_dts, imu_acc, imu_gyr, imu_mask, key, prev_floor):
             """Fused per-frame path: preprocess -> odometry -> backend in ONE
             dispatch (the nodelet pipeline collapsed into a single XLA
             program; one host round trip per frame instead of four)."""
-            cl, ego, prepared, fl, dynamic_mask = _preprocess(cloud, ang_vel, key)
+            cl, ego, prepared, fl, dynamic_mask, eff_floor = _preprocess(
+                cloud, ang_vel, key, prev_floor
+            )
             if c.odometry.enable_scan_to_map:
                 odo_state, oout = scan2map.step(
                     odo_state, prepared, ego.v, stamp, c.odometry, c.registration
@@ -174,7 +184,7 @@ class Engine:
                 floor_valid=fl.found,
             )
             bk_state, bout = slam.backend_step(bk_state, frame, c.backend, c.imu)
-            return odo_state, bk_state, cl, ego, fl, dynamic_mask, oout, bout
+            return odo_state, bk_state, cl, ego, fl, dynamic_mask, oout, bout, eff_floor
 
         self._preprocess = _preprocess
         self._odometry = _odometry
@@ -215,11 +225,16 @@ class Engine:
             dtype=self.dtype,
         )
         status = None
+        if st.floor_prev is None:
+            # initial fallback plane (floor_detection_nodelet.cpp:122-127)
+            st.floor_prev = jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype=self.dtype)
         if st.odo is None:
             # first frame: initialize states host-side (jitted path assumes
             # initialized state, scan_matching_odometry_nodelet.cpp:431-445)
             with self.timers.time("preprocess"):
-                cl, ego, prepared, fl, dynamic_mask = self._preprocess(cloud, ang_vel, k1)
+                cl, ego, prepared, fl, dynamic_mask, st.floor_prev = self._preprocess(
+                    cloud, ang_vel, k1, st.floor_prev
+                )
             if c.odometry.enable_scan_to_map:
                 st.odo = scan2map.init_state(prepared, stamp, c.odometry, dtype=self.dtype)
             else:
@@ -249,15 +264,14 @@ class Engine:
                 st.backend, bout = self._backend(st.backend, frame)
         else:
             with self.timers.time("frame_step"):
-                (st.odo, st.backend, cl, ego, fl, dynamic_mask, oout, bout) = (
-                    self._frame_step(
-                        st.odo, st.backend, cloud, ang_vel,
-                        jnp.asarray(stamp, self.dtype),
-                        jnp.asarray(imu_dts, self.dtype),
-                        jnp.asarray(imu_acc, self.dtype),
-                        jnp.asarray(imu_gyr, self.dtype),
-                        jnp.asarray(imu_mask), k1,
-                    )
+                (st.odo, st.backend, cl, ego, fl, dynamic_mask, oout, bout,
+                 st.floor_prev) = self._frame_step(
+                    st.odo, st.backend, cloud, ang_vel,
+                    jnp.asarray(stamp, self.dtype),
+                    jnp.asarray(imu_dts, self.dtype),
+                    jnp.asarray(imu_acc, self.dtype),
+                    jnp.asarray(imu_gyr, self.dtype),
+                    jnp.asarray(imu_mask), k1, st.floor_prev,
                 )
             odom_pose = oout.odom
             is_kf = bool(oout.is_keyframe)

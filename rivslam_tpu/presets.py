@@ -37,6 +37,12 @@ def ntu4dradlm(sequence: str = "cp") -> EngineConfig:
     ~1000-1500 targets -> raw capacity 2048 is ample.
     """
     cfg = _base()
+    cfg = dataclasses.replace(
+        cfg,
+        preprocess=dataclasses.replace(
+            cfg.preprocess, enable_under_floor_removal=True
+        ),
+    )
     if sequence in ("cp", "nyl"):
         # handheld: smaller keyframe spacing keeps the odometry chain dense
         cfg = dataclasses.replace(
@@ -59,7 +65,9 @@ def mine_and_forest() -> EngineConfig:
     return dataclasses.replace(
         cfg,
         preprocess=dataclasses.replace(
-            cfg.preprocess, outlier_removal_method="RADIUS"
+            cfg.preprocess,
+            outlier_removal_method="RADIUS",
+            enable_under_floor_removal=True,
         ),
         odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True),
     )
