@@ -76,6 +76,8 @@ class RadarSequence:
     imu_gyr: np.ndarray  # [M, 3]
     gt_stamps: np.ndarray | None = None  # [G]
     gt_poses: np.ndarray | None = None  # [G, 4, 4]
+    baro_stamps: np.ndarray | None = None  # [B] barometer stream (Barometer.msg)
+    baro_alt: np.ndarray | None = None  # [B] altitude
 
     @property
     def num_frames(self) -> int:
@@ -89,6 +91,16 @@ class RadarSequence:
             doppler=self.doppler[s:e],
             intensity=self.intensity[s:e],
         )
+
+    def baro_at(self, t: float, max_gap: float = 1.0) -> float | None:
+        """Nearest barometer altitude within max_gap seconds of t (the
+        reference pairs each keyframe with the latest Barometer message)."""
+        if self.baro_stamps is None or len(self.baro_stamps) == 0:
+            return None
+        i = int(np.argmin(np.abs(self.baro_stamps - t)))
+        if abs(float(self.baro_stamps[i]) - t) > max_gap:
+            return None
+        return float(self.baro_alt[i])
 
     def imu_between(self, t0: float, t1: float, capacity: int):
         """Masked fixed-capacity IMU batch in (t0, t1], with per-sample dt
@@ -127,6 +139,9 @@ class RadarSequence:
         if self.gt_stamps is not None:
             data["gt_stamps"] = self.gt_stamps
             data["gt_poses"] = self.gt_poses
+        if self.baro_stamps is not None:
+            data["baro_stamps"] = self.baro_stamps
+            data["baro_alt"] = self.baro_alt
         np.savez_compressed(path, **data)
 
     @staticmethod
@@ -143,6 +158,8 @@ class RadarSequence:
             imu_gyr=d["imu_gyr"],
             gt_stamps=d["gt_stamps"] if "gt_stamps" in d else None,
             gt_poses=d["gt_poses"] if "gt_poses" in d else None,
+            baro_stamps=d["baro_stamps"] if "baro_stamps" in d else None,
+            baro_alt=d["baro_alt"] if "baro_alt" in d else None,
         )
 
     @staticmethod
@@ -229,7 +246,10 @@ def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int =
         )
         t0 = prev_t if prev_t is not None else f["stamp"] - 0.1
         dts, acc, gyr, m = seq.imu_between(t0, f["stamp"], imu_capacity)
-        out = engine.process_frame(cloud, f["stamp"], dts, acc, gyr, m)
+        out = engine.process_frame(
+            cloud, f["stamp"], dts, acc, gyr, m,
+            altitude=seq.baro_at(f["stamp"]),
+        )
         outputs.append(out)
         prev_t = f["stamp"]
         if progress is not None:

@@ -147,6 +147,14 @@ def parse_imu(body: bytes) -> dict:
     return dict(header=h, orientation=orientation, angular_velocity=ang, linear_acceleration=lin)
 
 
+def parse_barometer(body: bytes) -> dict:
+    """radar_graph_slam/Barometer (msg/Barometer.msg: Header + altitude/
+    pressure/temperature float32)."""
+    r = _Reader(body)
+    h = r.header()
+    return dict(header=h, altitude=r.f32(), pressure=r.f32(), temperature=r.f32())
+
+
 def parse_pointcloud(body: bytes) -> dict:
     """sensor_msgs/PointCloud: header, points[], channels[] (Eagle layout)."""
     r = _Reader(body)
@@ -274,15 +282,22 @@ def convert_bag(
     out_path: str,
     radar_topic: str = "/radar_enhanced_pcl",
     imu_topic: str = "/vectornav/imu",
+    baro_topic: str = "/barometer",
 ):
     """NTU4DRadLM-style bag -> rivseq .npz, auto-detecting the radar format
     from the connection type (mirrors preprocessing_nodelet.cpp:66-80)."""
     from rivslam_tpu.io import datasets
 
     frames, imu_t, imu_a, imu_g = [], [], [], []
+    baro_t, baro_a = [], []
     for topic, msg_type, stamp, body in read_messages(
-        bag_path, topics=[radar_topic, imu_topic]
+        bag_path, topics=[radar_topic, imu_topic, baro_topic]
     ):
+        if topic == baro_topic or msg_type.endswith("Barometer"):
+            m = parse_barometer(body)
+            baro_t.append(m["header"]["stamp"].to_sec())
+            baro_a.append(m["altitude"])
+            continue
         if topic == imu_topic:
             m = parse_imu(body)
             imu_t.append(m["header"]["stamp"].to_sec())
@@ -316,5 +331,8 @@ def convert_bag(
                 intensity=np.asarray(m["snr"], np.float64),
             ))
     seq = datasets.RadarSequence.from_frames(frames, imu_t, imu_a, imu_g)
+    if baro_t:
+        seq.baro_stamps = np.asarray(baro_t)
+        seq.baro_alt = np.asarray(baro_a)
     seq.save(out_path)
     return seq

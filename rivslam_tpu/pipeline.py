@@ -41,6 +41,7 @@ class EngineState:
     kf_clouds: list = dataclasses.field(default_factory=list)  # per-kf (xyz, mask)
     kf_stamps: list = dataclasses.field(default_factory=list)
     kf_accum: list = dataclasses.field(default_factory=list)
+    kf_alt: list = dataclasses.field(default_factory=list)  # barometer altitude (nan if absent)
     kf_odom: list = dataclasses.field(default_factory=list)  # raw odometry 4x4
     floor_prev: object = None  # [4] fallback plane chain (initial [0,0,1,0])
     trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
@@ -207,8 +208,11 @@ class Engine:
         imu_acc: np.ndarray,
         imu_gyr: np.ndarray,
         imu_mask: np.ndarray,
+        altitude: float | None = None,
     ) -> dict:
-        """Feed one radar frame (+IMU batch since the last). Returns outputs."""
+        """Feed one radar frame (+IMU batch since the last). `altitude` is the
+        barometer reading (msg/Barometer.msg), used only by the loop
+        prefilter's max_baro_difference gate. Returns outputs."""
         c = self.cfg
         st = self.state
         self.key, k1 = jax.random.split(self.key)
@@ -282,7 +286,7 @@ class Engine:
         loop_found = False
         if is_kf:
             with self.timers.time("loop"):
-                loop_found = self._on_keyframe(cl, odom_pose, stamp)
+                loop_found = self._on_keyframe(cl, odom_pose, stamp, altitude)
 
         st.frame_idx += 1
         pose = np.asarray(bout.pose)
@@ -334,6 +338,7 @@ class Engine:
         st.kf_clouds = [st.kf_clouds[i] for i in keep]
         st.kf_stamps = [st.kf_stamps[i] for i in keep]
         st.kf_accum = [st.kf_accum[i] for i in keep]
+        st.kf_alt = [st.kf_alt[i] for i in keep]
         st.kf_odom = [st.kf_odom[i] for i in keep]
         st.kf_count = len(keep)
         # pairwise-consistency memory references old indices; drop it
@@ -379,7 +384,7 @@ class Engine:
         return np.asarray(lie.se3_matrix(nav.R, nav.p))
 
     # ------------------------------------------------------------------
-    def _on_keyframe(self, cl: RadarCloud, odom_pose, stamp: float) -> bool:
+    def _on_keyframe(self, cl: RadarCloud, odom_pose, stamp: float, altitude=None) -> bool:
         c = self.cfg
         st = self.state
         if st.scdb is None:
@@ -434,6 +439,7 @@ class Engine:
         odo_st = st.odo.base if hasattr(st.odo, "base") else st.odo
         accum = float(np.asarray(odo_st.accum_distance)) if st.odo is not None else 0.0
         st.kf_accum.append(accum)
+        st.kf_alt.append(float("nan") if altitude is None else float(altitude))
         st.kf_count += 1
 
         # ---- loop detection (activated, unlike the reference)
@@ -441,6 +447,13 @@ class Engine:
             return False
         accum_arr = jnp.zeros(K, dtype=self.dtype).at[: st.kf_count].set(
             jnp.asarray(st.kf_accum, dtype=self.dtype)
+        )
+        alt_np = np.asarray(st.kf_alt, dtype=np.float64)
+        alt_arr = jnp.zeros(K, dtype=self.dtype).at[: st.kf_count].set(
+            jnp.asarray(np.nan_to_num(alt_np), dtype=self.dtype)
+        )
+        alt_valid = jnp.zeros(K, dtype=bool).at[: st.kf_count].set(
+            jnp.asarray(~np.isnan(alt_np))
         )
         cand = detector.prefilter_candidates(
             accum_arr,
@@ -450,6 +463,8 @@ class Engine:
             jnp.asarray(k),
             jnp.asarray(st.last_loop_accum, self.dtype),
             c.loop,
+            altitude=alt_arr,
+            altitude_valid=alt_valid,
         )
         if c.loop.verify_candidates > 1:
             # batched path: registration-verify the top-k SC candidates in one

@@ -226,3 +226,32 @@ def test_robust_kernel_formulas():
         w = np.asarray(robust.kernel_weight(name, 1.0, chi2))
         assert (w >= 0).all() and (w <= 1.0 + 1e-9).all()
         assert w[0] >= w[-1]  # monotone non-increasing in chi2
+
+
+def test_prefilter_baro_gate():
+    """max_baro_difference excludes altitude-mismatched candidates
+    (loop_detector.cpp:156-161); unknown altitudes are not gated."""
+    import jax.numpy as jnp
+
+    from rivslam_tpu.core.config import LoopConfig
+
+    K = 8
+    cfg = LoopConfig(
+        accum_distance_thresh=0.0, min_loop_interval_dist=0.0,
+        distance_thresh=100.0, max_baro_difference=2.0,
+        num_exclude_recent=0,
+    )
+    accum = jnp.arange(K, dtype=jnp.float64) * 10
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (K, 3, 3))
+    p = jnp.zeros((K, 3), dtype=jnp.float64)
+    mask = jnp.ones(K, dtype=bool)
+    alt = jnp.asarray([0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float64)
+    valid = jnp.asarray([True, True, True, False, True, True, True, True])
+    cand = detector.prefilter_candidates(
+        accum, R, p, mask, jnp.asarray(7), jnp.asarray(0.0, jnp.float64), cfg,
+        altitude=alt, altitude_valid=valid,
+    )
+    cand = np.asarray(cand)
+    assert not cand[2]   # 5 m baro difference > 2 m gate
+    assert cand[1] and cand[4]
+    assert cand[3]       # unknown altitude: not gated

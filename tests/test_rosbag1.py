@@ -39,6 +39,12 @@ def ser_imu(stamp, acc, gyr):
     return b
 
 
+def ser_barometer(stamp, altitude):
+    b = _ros_header(stamp, "baro")
+    b += struct.pack("<3f", altitude, 1013.25, 20.0)
+    return b
+
+
 def ser_pointcloud(stamp, xyz, dop, power):
     b = _ros_header(stamp)
     b += struct.pack("<I", len(xyz))
@@ -131,6 +137,10 @@ def make_messages(rng):
         t = 100.0 + i * 0.01
         msgs.append(("/vectornav/imu", "sensor_msgs/Imu", t,
                      ser_imu(t, [0.1, 0.2, 9.8], [0.01, 0.02, 0.03])))
+    for i in range(3):
+        t = 100.0 + i * 0.1
+        msgs.append(("/barometer", "radar_graph_slam/Barometer", t,
+                     ser_barometer(t, 150.0 + i)))
     return msgs
 
 
@@ -150,7 +160,7 @@ def test_bz2_chunks(tmp_path, rng):
     path = str(tmp_path / "test_bz2.bag")
     write_bag(path, make_messages(rng), compression="bz2")
     got = list(rosbag1.read_messages(path))
-    assert len(got) == 33
+    assert len(got) == 36
 
 
 def test_convert_bag_eagle(tmp_path, rng):
@@ -162,6 +172,13 @@ def test_convert_bag_eagle(tmp_path, rng):
     assert len(seq.imu_stamps) == 30
     f = seq.frame(1)
     assert f["xyz"].shape == (50, 3)
+    # barometer stream converted and queryable (loop prefilter baro gate)
+    assert len(seq.baro_stamps) == 3
+    assert seq.baro_at(100.1) == 151.0
+    from rivslam_tpu.io import datasets as _ds
+
+    reloaded = _ds.RadarSequence.load(out)
+    assert reloaded.baro_at(100.2) == 152.0
 
 
 def test_pointcloud2_and_scan_extended(tmp_path, rng):
