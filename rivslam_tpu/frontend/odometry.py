@@ -46,6 +46,10 @@ class OdometryOutput:
     thresholded: jax.Array  # [] bool
     reg: apdgicp.RegistrationResult
     accum_distance: jax.Array  # [] travel distance at this frame
+    pred_error: jax.Array  # [4,4] inv(registration) @ motion-prediction guess
+    # (ScanMatchingStatus prediction_errors, scan_matching_odometry_nodelet
+    # .cpp:717-724 — there against the msf/imu delta, here the ego-velocity
+    # or constant-velocity guess actually used to seed the solve)
 
 
 def init_state(
@@ -156,5 +160,6 @@ def step(
         thresholded=thresholded,
         reg=reg,
         accum_distance=accum,
+        pred_error=lie.se3_inverse(trans) @ guess,
     )
     return new_state, out

@@ -155,5 +155,6 @@ def step(
         thresholded=thresholded,
         reg=reg_m,
         accum_distance=s2s_out.accum_distance,
+        pred_error=lie.se3_inverse(trans_m) @ guess,
     )
     return new_state, out

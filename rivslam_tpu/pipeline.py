@@ -353,6 +353,11 @@ class Engine:
             "inlier_fraction": float(oout.reg.fitness),
             "relative_pose": np.asarray(oout.trans_delta),
             "num_correspondences": int(n),
+            # prediction_labels / prediction_errors parity (msg/
+            # ScanMatchingStatus.msg): error of the motion-prediction guess
+            # vs the converged registration
+            "prediction_labels": ["motion_prediction"],
+            "prediction_errors": [np.asarray(oout.pred_error)],
         }
 
     def predict_highrate(self, imu_dts, imu_acc, imu_gyr, imu_mask):
