@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                     help="dataset preset (ntu4dradlm|cp|nyl|garden|mine|hugin|sjtu|long)")
     ap.add_argument("--loop-candidates", type=int, default=None,
                     help="verify top-k scan-context candidates per keyframe in one batched dispatch (default 1)")
+    ap.add_argument("--histogram", action="store_true",
+                    help="print per-meter point-density histogram of the sequence "
+                         "(preprocessing command_callback diagnostic) and exit")
     ap.add_argument("--ckpt", default=None, help="optional checkpoint dir to dump")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--capacity", type=int, default=1024)
@@ -85,6 +88,40 @@ def main(argv=None) -> int:
     eng = pipeline.Engine(cfg, dtype=jnp.float64 if args.f64 else jnp.float32)
     if args.resume:
         checkpoint.load(eng, args.resume)
+
+    if args.histogram:
+        import jax.numpy as _jnp
+
+        from rivslam_tpu.core.pointcloud import RadarCloud
+        from rivslam_tpu.ops import filters
+
+        if args.seq.endswith(".rivbin"):
+            from rivslam_tpu.runtime import native
+
+            ns = native.NativeSequence(args.seq)
+            n = ns.num_frames
+            # slice off the fixed-capacity padding: only real targets count
+            get = lambda i: ns.read_frame(
+                i, max(args.capacity, ns.frame_count(i))
+            )[0][: ns.frame_count(i)]
+        else:
+            sq = datasets.RadarSequence.load(args.seq)
+            n = sq.num_frames
+            get = lambda i: sq.frame(i)["xyz"]
+        hist = np.zeros(100, dtype=np.int64)
+        step = max(1, n // 50)
+        for i in range(0, n, step):
+            xyz = np.asarray(get(i), dtype=np.float64)
+            cl = RadarCloud.from_numpy(xyz, max(len(xyz), args.capacity), dtype=_jnp.float64)
+            hist += np.asarray(filters.distance_histogram(cl))
+        total = hist.sum()
+        print("# per-meter point density (sampled every", step, "frames)")
+        for lo in range(0, 100, 10):
+            cnt = int(hist[lo:lo+10].sum())
+            bar = "#" * int(60 * cnt / max(1, hist.max() * 10))
+            print(f"{lo:3d}-{lo+10:3d} m: {cnt:8d} ({100.0*cnt/max(1,total):5.1f}%) {bar}")
+        print(f"total sampled points: {total}")
+        return
 
     if args.seq.endswith(".rivbin"):
         from rivslam_tpu.runtime import native
