@@ -141,6 +141,11 @@ class OdometryConfig:
     enable_scan_to_map: bool = False
     max_submap_frames: int = 5
     use_ego_vel: bool = False  # enable_frontend_ego_vel
+    # loose IMU roll/pitch complementary fusion at keyframe acceptance
+    # (transformUpdate, scan_matching_odometry_nodelet.cpp:294-348; launch:108
+    # ships it disabled, ratio 0.1 at launch:110)
+    enable_imu_fusion: bool = False
+    imu_fusion_ratio: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,183 @@
+"""Synthetic accuracy-validation matrix (VERDICT round-1 item #2).
+
+The reference's evaluation identity is dataset replay + rpg-style trajectory
+evaluation (README.md:57,62-63; trajectory export at
+radar_graph_slam_nodelet.cpp:1272-1293). The NTU4DRadLM / MineAndForest bags
+are not downloadable in this environment, so this module is the next-best
+thing: per-preset radar-realistic simulated courses (io/synthetic.
+simulate_sequence — FoV, spherical measurement noise, doppler, IMU bias walk,
+barometer, dynamic objects) replayed through the FULL engine, scored with the
+same align+ATE/RE protocol the reference's workflow uses.
+
+One command reproduces the whole matrix:
+
+    python -m rivslam_tpu.eval.validation [--presets cp,garden,mine]
+        [--matchers FAST_APDGICP,FAST_GICP] [--loop on,off] [--json out.json]
+
+Per course it reports: raw odometry keyframe ATE, loop-optimized keyframe
+ATE, full-frame trajectory ATE (aligned), and relative error per 10 m.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rivslam_tpu import pipeline, presets
+from rivslam_tpu.eval import ate as ate_mod
+from rivslam_tpu.io import datasets, synthetic
+
+# Course parameters approximate each dataset's regime: handheld carpark/
+# garden-cart NTU4DRadLM sequences (Eagle radar, open outdoor scenes) vs the
+# MineAndForest underground runs (Hugin radar, confined + multipath/dynamic
+# returns). Two laps guarantee at least one revisit for the loop pipeline.
+COURSES: dict[str, dict] = {
+    # slow handheld loop, dense close-range returns
+    "cp": dict(radius=8.0, omega=0.25, dt=0.25, n_frames=120, capacity=1024,
+               world_points=20000, extent=30.0),
+    # handheld, larger open loop
+    "nyl": dict(radius=12.0, omega=0.17, dt=0.25, n_frames=130, capacity=1024,
+                world_points=24000, extent=40.0),
+    # cart, faster
+    "garden": dict(radius=15.0, omega=0.2, dt=0.25, n_frames=135, capacity=1024,
+                   world_points=24000, extent=45.0),
+    # underground: confined extent, moving machinery, noisier doppler
+    "mine": dict(radius=10.0, omega=0.3, dt=0.25, n_frames=95, capacity=1024,
+                 world_points=26000, extent=25.0, n_dynamic=3,
+                 doppler_noise=0.08),
+}
+
+PRESET_FOR_COURSE = {
+    "cp": "cp", "nyl": "nyl", "garden": "garden", "mine": "mine",
+}
+
+
+def _interp_gt(gt_poses: np.ndarray, times: np.ndarray, stamps) -> np.ndarray:
+    idx = [int(np.argmin(np.abs(times - s))) for s in stamps]
+    return gt_poses[idx]
+
+
+def run_course(
+    course: str,
+    method: str = "FAST_APDGICP",
+    loop_on: bool = True,
+    seed: int = 21,
+    dtype=jnp.float32,
+    sim_overrides: dict | None = None,
+) -> dict:
+    """Simulate the course, replay it through the engine, score it."""
+    params = dict(COURSES[course])
+    params.update(sim_overrides or {})
+    seq, _ = synthetic.simulate_sequence(seed=seed, **params)
+
+    cfg = presets.get(PRESET_FOR_COURSE[course])
+    # synthetic scans are instantaneous; the simulator's world has no
+    # under-floor returns to cull
+    cfg = dataclasses.replace(
+        cfg,
+        preprocess=dataclasses.replace(
+            cfg.preprocess, enable_deskew=False, enable_under_floor_removal=False
+        ),
+        registration=dataclasses.replace(cfg.registration, method=method),
+        backend=dataclasses.replace(cfg.backend, max_solver_iterations=8),
+        loop=dataclasses.replace(
+            cfg.loop,
+            enable=loop_on,
+            accum_distance_thresh=min(cfg.loop.accum_distance_thresh, 40.0),
+            min_loop_interval_dist=5.0,
+        ),
+        odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True),
+    )
+    eng = pipeline.Engine(cfg, dtype=dtype)
+    outputs = datasets.replay(eng, seq, capacity=params["capacity"])
+
+    times = seq.gt_stamps
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    gt = np.stack([gt0 @ P for P in seq.gt_poses])
+
+    res: dict = {"course": course, "method": method, "loop": loop_on,
+                 "frames": int(seq.num_frames)}
+    n_loops = (
+        int(np.asarray(eng.state.graph.loop_mask).sum())
+        if eng.state.graph is not None else 0
+    )
+    res["loops_closed"] = n_loops
+
+    # raw odometry keyframe ATE (unaligned — shared start frame)
+    odom = np.stack([np.asarray(o["odom"]) for o in outputs])
+    kf_stamps = np.asarray(eng.state.kf_stamps)
+    odom_kf = _interp_gt(odom, times, kf_stamps)
+    gt_kf = _interp_gt(gt, times, kf_stamps)
+    res["odom_kf_ate_m"] = ate_mod.ate(
+        odom_kf[:, :3, 3], gt_kf[:, :3, 3], align=False
+    )["rmse"]
+
+    # loop-optimized keyframes
+    kf_opt = eng.optimized_keyframe_poses()
+    res["opt_kf_ate_m"] = ate_mod.ate(
+        np.asarray(kf_opt)[:, :3, 3], gt_kf[:, :3, 3], align=False
+    )["rmse"]
+
+    # full per-frame trajectory (SE3-aligned, rpg protocol)
+    ts, full = eng.trajectory()
+    gt_full = _interp_gt(gt, times, ts)
+    res["full_ate_m"] = ate_mod.ate(full[:, :3, 3], gt_full[:, :3, 3])["rmse"]
+
+    # relative error over 40-frame (~10 s) sub-paths on the full trajectory
+    re = ate_mod.relative_error(full, gt_full, delta=min(40, len(full) - 1))
+    res["re_trans_rmse_m"] = re["trans_rmse"]
+    res["re_rot_rmse_deg"] = re["rot_rmse_deg"]
+    return res
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--presets", default="cp,nyl,garden,mine")
+    ap.add_argument("--matchers", default="FAST_APDGICP,FAST_GICP")
+    ap.add_argument("--loop", default="on,off")
+    ap.add_argument("--seed", type=int, default=21)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="run on host CPU (the axon TPU relay pays minutes of compile "
+        "latency per engine variant; the study is compile-dominated)",
+    )
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if args.f64:
+            jax.config.update("jax_enable_x64", True)
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    rows = []
+    for course in args.presets.split(","):
+        for method in args.matchers.split(","):
+            for lp in args.loop.split(","):
+                r = run_course(course, method, lp == "on", seed=args.seed,
+                               dtype=dtype)
+                rows.append(r)
+                print(json.dumps(r))
+    print()
+    print("| course | matcher | loop | loops | odom-KF ATE | opt-KF ATE | full ATE |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['course']} | {r['method']} | {'on' if r['loop'] else 'off'} "
+            f"| {r['loops_closed']} | {r['odom_kf_ate_m']:.2f} m "
+            f"| {r['opt_kf_ate_m']:.2f} m | {r['full_ate_m']:.2f} m |"
+        )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

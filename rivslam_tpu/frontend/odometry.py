@@ -99,6 +99,9 @@ def step(
     t: jax.Array,  # [] frame time, seconds
     odo_cfg: OdometryConfig,
     reg_cfg: RegistrationConfig,
+    imu_roll: jax.Array | None = None,  # [] rad, gravity-derived (fusion)
+    imu_pitch: jax.Array | None = None,
+    imu_valid: jax.Array | None = None,  # [] bool
 ) -> tuple[OdometryState, OdometryOutput]:
     dtype = state.keyframe_pose.dtype
     eye4 = jnp.eye(4, dtype=dtype)
@@ -138,6 +141,20 @@ def step(
     kf_da = lie.rotation_angle(rel[:3, :3])
     is_kf = (kf_dx > odo_cfg.keyframe_delta_trans) | (kf_da > odo_cfg.keyframe_delta_angle)
     accum = state.accum_distance + jnp.where(is_kf, kf_dx, 0.0)
+
+    # --- loose IMU roll/pitch fusion, applied only at keyframe acceptance
+    # AFTER the keyframe decision, matching the reference order
+    # (scan_matching_odometry_nodelet.cpp:584-596: decide() on the unfused
+    # pose, then transformUpdate mutates odom_s2s_now which becomes the new
+    # keyframe_pose). Roll/pitch come from the frame's accelerometer batch
+    # (gravity direction) rather than the reference's external IMU
+    # orientation filter — the redesign has no VectorNav AHRS stream.
+    if odo_cfg.enable_imu_fusion:
+        assert imu_roll is not None and imu_pitch is not None and imu_valid is not None
+        fused = transform_update(
+            odom_now, imu_roll, imu_pitch, odo_cfg.imu_fusion_ratio
+        )
+        odom_now = jnp.where(is_kf & imu_valid, fused, odom_now)
 
     # keyframe swap: target <- current cloud, prev_trans <- I (:590-601)
     def sel(a, b):

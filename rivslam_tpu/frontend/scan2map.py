@@ -92,13 +92,24 @@ def step(
     t: jax.Array,
     odo_cfg: OdometryConfig,
     reg_cfg: RegistrationConfig,
+    imu_roll: jax.Array | None = None,
+    imu_pitch: jax.Array | None = None,
+    imu_valid: jax.Array | None = None,
 ) -> tuple[SubmapOdometryState, odometry.OdometryOutput]:
     dtype = state.base.keyframe_pose.dtype
     eye4 = jnp.eye(4, dtype=dtype)
     base = state.base
 
-    # scan-to-scan step advances the keyframe machinery + provides the guess
-    new_base, s2s_out = odometry.step(base, source, ego_vel, t, odo_cfg, reg_cfg)
+    # scan-to-scan step advances the keyframe machinery + provides the guess.
+    # IMU fusion applies to the s2m pose only (the reference fuses
+    # odom_s2m_now when scan-to-map is on, :586-588; keyframe_pose_s2s stays
+    # unfused), so the base step runs with fusion off.
+    s2s_cfg = (
+        dataclasses.replace(odo_cfg, enable_imu_fusion=False)
+        if odo_cfg.enable_imu_fusion
+        else odo_cfg
+    )
+    new_base, s2s_out = odometry.step(base, source, ego_vel, t, s2s_cfg, reg_cfg)
 
     # scan-to-map registration with the same guess composition (:489-498)
     if odo_cfg.use_ego_vel:
@@ -122,6 +133,15 @@ def step(
     odom_m = jnp.where(thresholded, state.keyframe_pose_s2m @ trans_m @ radar_delta, odom_m)
 
     is_kf = s2s_out.is_keyframe
+
+    # loose IMU roll/pitch fusion on the s2m pose at keyframe acceptance
+    # (transformUpdate(odom_s2m_now), :586-587)
+    if odo_cfg.enable_imu_fusion:
+        assert imu_roll is not None and imu_pitch is not None and imu_valid is not None
+        fused = odometry.transform_update(
+            odom_m, imu_roll, imu_pitch, odo_cfg.imu_fusion_ratio
+        )
+        odom_m = jnp.where(is_kf & imu_valid, fused, odom_m)
 
     # on keyframe: push cloud into the ring buffer, rebuild the submap in the
     # new keyframe's frame (:606-622)

@@ -63,10 +63,24 @@ def observe(
     doppler_noise: float = 0.02,
     fov_deg: float | None = None,
     dtype=jnp.float32,
+    range_noise_rel: float = 0.0,
+    az_noise_deg: float = 0.0,
+    el_noise_deg: float = 0.0,
 ) -> RadarCloud:
     """Observe the world from a sensor pose: range-gate, optional forward
     field-of-view (radar-like, e.g. Oculii Eagle ~ +-60 deg), add noise,
-    compute doppler from the sensor velocity (static world)."""
+    compute doppler from the sensor velocity (static world).
+
+    Two noise models, composable:
+    - `noise`: isotropic Cartesian sigma (legacy; matches GICP's implicit
+      assumption).
+    - spherical radar noise (`range_noise_rel`, `az_noise_deg`,
+      `el_noise_deg`): Gaussian perturbation in (range, azimuth, elevation)
+      measurement space — the generative model FAST_APDGICP's adaptive
+      covariance assumes (fast_apdgicp_impl.hpp:166-184: sigma_r = d*dist_var
+      /400, sigma_tangential ~ d*sin(var_deg)). `range_noise_rel` is relative
+      (sigma_r = range_noise_rel * r); angular sigmas are absolute degrees.
+    """
     R = T_world_sensor[:3, :3]
     t = T_world_sensor[:3, 3]
     local = (world - t) @ R  # R^T (p - t)
@@ -86,7 +100,27 @@ def observe(
         )
         strength = strength + rng.normal(size=len(idx)) * 1.0
         idx = idx[np.argsort(-strength)[:capacity]]
-    pts = local[idx] + rng.normal(size=(len(idx), 3)) * noise
+    pts = local[idx]
+    if range_noise_rel > 0.0 or az_noise_deg > 0.0 or el_noise_deg > 0.0:
+        # perturb in radar measurement space: (r, azimuth, elevation).
+        # elevation here is the polar angle from +z (atan2(sqrt(x^2+y^2), z)),
+        # matching the adaptive-covariance convention.
+        rr = np.linalg.norm(pts, axis=1)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        el = np.arctan2(np.hypot(pts[:, 0], pts[:, 1]), pts[:, 2])
+        rr = rr * (1.0 + rng.normal(size=len(idx)) * range_noise_rel)
+        az = az + rng.normal(size=len(idx)) * np.radians(az_noise_deg)
+        el = el + rng.normal(size=len(idx)) * np.radians(el_noise_deg)
+        pts = np.stack(
+            [
+                rr * np.sin(el) * np.cos(az),
+                rr * np.sin(el) * np.sin(az),
+                rr * np.cos(el),
+            ],
+            axis=1,
+        )
+    if noise > 0.0:
+        pts = pts + rng.normal(size=(len(idx), 3)) * noise
     if sensor_vel_world is not None:
         v_sensor = R.T @ sensor_vel_world
         dirs = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
@@ -101,6 +135,11 @@ def observe(
     )
     intensity += rng.normal(size=len(idx)) * 0.5
     return RadarCloud.from_numpy(pts, capacity, doppler=dop, intensity=intensity, dtype=dtype)
+
+
+def _rz(yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
 def circular_imu_samples(
@@ -128,7 +167,7 @@ def circular_imu_samples(
             [-radius * omega**2 * np.cos(a), -radius * omega**2 * np.sin(a), 0.0]
         )
         yaw = a + np.pi / 2
-        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, yaw], dtype=jnp.float64)))
+        R = _rz(yaw)
         accs[i] = R.T @ (a_w + G)
     if rng is not None:
         accs += rng.normal(size=accs.shape) * acc_noise
@@ -154,9 +193,180 @@ def circular_trajectory(
         a = omega * tt
         p = np.array([radius * np.cos(a), radius * np.sin(a), height])
         yaw = a + np.pi / 2
-        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, yaw], dtype=jnp.float64)))
+        R = _rz(yaw)
         poses[i, :3, :3] = R
         poses[i, :3, 3] = p
         poses[i, 3, 3] = 1.0
         vels[i] = np.array([-radius * omega * np.sin(a), radius * omega * np.cos(a), 0.0])
     return times, poses, vels
+
+
+# ---------------------------------------------------------------------------
+# radar-realistic sequence simulator (VERDICT round-1 item #2)
+# ---------------------------------------------------------------------------
+
+
+def simulate_sequence(
+    seed: int = 0,
+    n_frames: int = 180,
+    radius: float = 10.0,
+    omega: float = 0.3,
+    dt: float = 0.25,
+    height: float = 2.0,
+    capacity: int = 1024,
+    max_range: float = 60.0,
+    fov_deg: float = 56.5,
+    range_noise_rel: float = 0.86 / 400.0,
+    az_noise_deg: float = 1.0,
+    el_noise_deg: float = 1.0,
+    cartesian_noise: float = 0.0,
+    doppler_noise: float = 0.05,
+    imu_rate: float = 100.0,
+    gyro_noise: float = 0.002,
+    acc_noise: float = 0.02,
+    gyro_bias0: float = 0.002,
+    acc_bias0: float = 0.05,
+    gyro_bias_walk: float = 1e-5,
+    acc_bias_walk: float = 1e-4,
+    n_dynamic: int = 0,
+    dynamic_speed: float = 2.0,
+    world_points: int = 20000,
+    extent: float = 40.0,
+    baro: bool = True,
+    baro_noise: float = 0.1,
+    gravity: float = 9.80511,
+):
+    """Radar-realistic synthetic dataset: the rosbag replacement while the
+    NTU4DRadLM / MineAndForest downloads stay blocked (VERDICT #2).
+
+    Models the measurement chain the reference's sensors produce:
+    - limited forward FoV (Oculii Eagle ~ +-56.5 deg azimuth — the scan
+      context's LIDAR_FOV, Scancontext.h:110);
+    - spherical measurement noise matched to the APDGICP adaptive covariance
+      generative model (range sigma = range_noise_rel*r, az/el sigma in deg;
+      fast_apdgicp_impl.hpp:166-184);
+    - per-target doppler from ego motion (+ moving targets) with noise —
+      feeds REVE and dynamic-object removal;
+    - intensity as a persistent world property (scan-context input);
+    - IMU with white noise AND bias random walk (the backend's bias factors
+      exist to track exactly this);
+    - barometer altitude stream (loop prefilter baro gate input);
+    - optional dynamic objects: point clusters on constant-velocity paths,
+      with physically consistent doppler (REVE RANSAC should reject them).
+
+    Returns (RadarSequence with ground truth, world points array).
+    """
+    from rivslam_tpu.io.datasets import RadarSequence
+
+    rng = np.random.default_rng(seed)
+    world = make_world(rng, n_points=world_points, extent=extent)
+    times, poses, vels = circular_trajectory(
+        n_frames, radius=radius, height=height, dt=dt, omega=omega
+    )
+
+    # dynamic objects: rigid clusters of ~24 points on straight paths
+    dyn_centers = rng.uniform(-extent * 0.6, extent * 0.6, size=(n_dynamic, 3))
+    if n_dynamic:
+        dyn_centers[:, 2] = rng.uniform(0.5, 2.0, n_dynamic)
+    dyn_dirs = rng.normal(size=(n_dynamic, 3))
+    if n_dynamic:
+        dyn_dirs[:, 2] = 0.0
+        dyn_dirs /= np.maximum(np.linalg.norm(dyn_dirs, axis=1, keepdims=True), 1e-9)
+    dyn_vels = dyn_dirs * dynamic_speed
+    dyn_template = rng.normal(size=(n_dynamic, 24, 3)) * np.array([1.5, 0.8, 0.6])
+
+    frames = []
+    half_fov = np.radians(fov_deg)
+    for i in range(n_frames):
+        R, t = poses[i][:3, :3], poses[i][:3, 3]
+        v_local = R.T @ vels[i]
+
+        # --- static world observation -------------------------------------
+        local = (world - t) @ R
+        r = np.linalg.norm(local, axis=1)
+        vis = (r > 1.0) & (r < max_range)
+        az_all = np.arctan2(local[:, 1], local[:, 0])
+        vis &= np.abs(az_all) < half_fov
+        idx = np.where(vis)[0]
+        w = world[idx]
+        strength = 10.0 + 20.0 * (
+            0.5 + 0.5 * np.sin(w[:, 0] * 12.9898 + w[:, 1] * 78.233 + w[:, 2] * 37.719)
+        )
+        # radar-equation range falloff: received SNR drops ~40 log10(r), so
+        # detections concentrate close-range (the reference ships a
+        # per-distance histogram diagnostic because this density profile is
+        # what capacity/filter knobs are tuned against,
+        # preprocessing_nodelet.cpp:818-828)
+        det = strength - 25.0 * np.log10(np.maximum(r[idx], 1.0)) \
+            + rng.normal(size=len(idx)) * 1.0
+        if len(idx) > capacity:
+            keep = np.argsort(-det)[:capacity]
+            idx, strength = idx[keep], strength[keep]
+        pts = local[idx]
+        vel_pts = np.zeros_like(pts)  # static targets
+
+        # --- dynamic targets ----------------------------------------------
+        if n_dynamic:
+            dyn_pts_w = (dyn_centers + dyn_vels * times[i])[:, None, :] + dyn_template
+            dyn_v_w = np.repeat(dyn_vels, dyn_template.shape[1], axis=0)
+            dyn_pts_w = dyn_pts_w.reshape(-1, 3)
+            dloc = (dyn_pts_w - t) @ R
+            dr = np.linalg.norm(dloc, axis=1)
+            daz = np.arctan2(dloc[:, 1], dloc[:, 0])
+            dvis = (dr > 1.0) & (dr < max_range) & (np.abs(daz) < half_fov)
+            pts = np.concatenate([pts, dloc[dvis]])
+            vel_pts = np.concatenate([vel_pts, (dyn_v_w[dvis]) @ R])
+            strength = np.concatenate(
+                [strength, 18.0 + rng.normal(size=int(dvis.sum())) * 2.0]
+            )
+
+        # --- spherical measurement noise ----------------------------------
+        rr = np.linalg.norm(pts, axis=1)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        el = np.arctan2(np.hypot(pts[:, 0], pts[:, 1]), pts[:, 2])
+        dirs = pts / np.maximum(rr[:, None], 1e-9)
+        # doppler BEFORE noise (true geometry), convention matches observe():
+        # positive toward static targets when moving toward them
+        dop = dirs @ v_local - np.sum(dirs * vel_pts, axis=1)
+        dop += rng.normal(size=len(pts)) * doppler_noise
+        if range_noise_rel > 0 or az_noise_deg > 0 or el_noise_deg > 0:
+            rr = rr * (1.0 + rng.normal(size=len(pts)) * range_noise_rel)
+            az = az + rng.normal(size=len(pts)) * np.radians(az_noise_deg)
+            el = el + rng.normal(size=len(pts)) * np.radians(el_noise_deg)
+            pts = np.stack(
+                [rr * np.sin(el) * np.cos(az), rr * np.sin(el) * np.sin(az), rr * np.cos(el)],
+                axis=1,
+            )
+        if cartesian_noise > 0:
+            pts = pts + rng.normal(size=pts.shape) * cartesian_noise
+        intensity = strength + rng.normal(size=len(pts)) * 0.5
+        frames.append(
+            dict(stamp=float(times[i]), xyz=pts, doppler=dop, intensity=intensity)
+        )
+
+    # --- IMU stream with noise + bias walk --------------------------------
+    imu_t, imu_a, imu_g = [], [], []
+    bg = rng.normal(size=3) * gyro_bias0
+    ba = rng.normal(size=3) * acc_bias0
+    for i in range(1, n_frames):
+        d, a, g = circular_imu_samples(
+            times[i - 1], times[i], rate=imu_rate, radius=radius, omega=omega,
+            gravity=gravity,
+        )
+        ts = times[i - 1] + np.cumsum(d)
+        for k in range(len(d)):
+            bg = bg + rng.normal(size=3) * gyro_bias_walk * np.sqrt(d[k])
+            ba = ba + rng.normal(size=3) * acc_bias_walk * np.sqrt(d[k])
+            imu_t.append(ts[k])
+            imu_a.append(a[k] + ba + rng.normal(size=3) * acc_noise)
+            imu_g.append(g[k] + bg + rng.normal(size=3) * gyro_noise)
+
+    seq = RadarSequence.from_frames(
+        frames, np.asarray(imu_t), np.asarray(imu_a), np.asarray(imu_g),
+        gt=(times.copy(), poses.copy()),
+    )
+    if baro:
+        bt = np.arange(times[0], times[-1], 0.1)
+        seq.baro_stamps = bt
+        seq.baro_alt = np.full_like(bt, height) + rng.normal(size=len(bt)) * baro_noise
+    return seq, world

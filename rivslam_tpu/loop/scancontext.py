@@ -87,12 +87,22 @@ def sector_key_of(desc: jax.Array) -> jax.Array:
 
 
 def insert(db: ScanContextDB, desc: jax.Array) -> ScanContextDB:
-    i = jnp.minimum(db.count, db.desc.shape[0] - 1)
+    """Append a descriptor. At capacity the insert is a NO-OP (count stays
+    clamped at K): silently overwriting slot K-1 would corrupt the last
+    descriptor for standalone users. The engine compacts the DB before it
+    ever fills (pipeline._compact_keyframes)."""
+    K = db.desc.shape[0]
+    full = db.count >= K
+    i = jnp.minimum(db.count, K - 1)
+
+    def sel(new, old):
+        return jnp.where(full, old, new)
+
     return ScanContextDB(
-        desc=db.desc.at[i].set(desc),
-        ring_key=db.ring_key.at[i].set(ring_key_of(desc)),
-        sector_key=db.sector_key.at[i].set(sector_key_of(desc)),
-        count=db.count + 1,
+        desc=db.desc.at[i].set(sel(desc, db.desc[i])),
+        ring_key=db.ring_key.at[i].set(sel(ring_key_of(desc), db.ring_key[i])),
+        sector_key=db.sector_key.at[i].set(sel(sector_key_of(desc), db.sector_key[i])),
+        count=jnp.minimum(db.count + 1, K),
     )
 
 

@@ -161,13 +161,27 @@ class Engine:
             cl, ego, prepared, fl, dynamic_mask, eff_floor = _preprocess(
                 cloud, ang_vel, key, prev_floor
             )
+            # IMU roll/pitch for the loose complementary fusion: gravity
+            # direction from the frame's accelerometer batch (the reference
+            # reads its AHRS orientation stream, scan_matching_odometry_
+            # nodelet.cpp:298-322; the redesign derives it from raw samples)
+            imu_kw: dict = {}
+            if c.odometry.enable_imu_fusion:
+                w = imu_mask.astype(imu_acc.dtype)
+                acc_mean = (imu_acc * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+                roll, pitch = odometry.roll_pitch_from_gravity(acc_mean)
+                imu_kw = dict(
+                    imu_roll=roll, imu_pitch=pitch, imu_valid=imu_mask.any()
+                )
             if c.odometry.enable_scan_to_map:
                 odo_state, oout = scan2map.step(
-                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration
+                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
+                    **imu_kw,
                 )
             else:
                 odo_state, oout = odometry.step(
-                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration
+                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
+                    **imu_kw,
                 )
             frame = slam.BackendFrame(
                 stamp=stamp,

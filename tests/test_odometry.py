@@ -108,3 +108,58 @@ def test_transform_update_imu_fusion():
     # gravity-based roll/pitch: level sensor -> zeros
     r, p = odometry.roll_pitch_from_gravity(jnp.asarray([0.0, 0.0, 9.8]))
     np.testing.assert_allclose([float(r), float(p)], 0.0, atol=1e-9)
+
+
+def test_imu_fusion_corrects_tilted_keyframe():
+    """End-to-end step path (VERDICT round-1 item #4): with
+    enable_imu_fusion, a roll-drifted odometry is pulled toward the
+    gravity-derived (level) attitude at keyframe acceptance, by
+    imu_fusion_ratio; without the flag the drift persists untouched."""
+    rng = np.random.default_rng(11)
+    world = synthetic.make_world(rng, n_points=8000)
+    T0 = np.eye(4)
+    T1 = np.eye(4)
+    T1[:3, 3] = [1.0, 0.0, 0.0]  # 1 m > 0.5 m keyframe gate
+    c0 = synthetic.observe(world, T0, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    c1 = synthetic.observe(world, T1, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    p0 = apdgicp.estimate_covariances(c0.xyz, c0.mask, REG)
+    p1 = apdgicp.estimate_covariances(c1.xyz, c1.mask, REG)
+
+    roll_err = 0.1  # rad of accumulated roll drift in the keyframe pose
+    state = odometry.init_state(p0, 0.0, dtype=jnp.float64)
+    tilted = jnp.asarray(
+        np.block(
+            [
+                [np.asarray(lie.so3_exp(jnp.asarray([roll_err, 0.0, 0.0], jnp.float64))),
+                 np.zeros((3, 1))],
+                [np.zeros((1, 3)), np.ones((1, 1))],
+            ]
+        )
+    )
+    state = odometry.OdometryState(
+        target=state.target, keyframe_pose=tilted, prev_trans=state.prev_trans,
+        egovel_trans=state.egovel_trans, last_time=state.last_time,
+        accum_distance=state.accum_distance, keyframe_index=state.keyframe_index,
+    )
+    ratio = 0.5
+    cfg_on = OdometryConfig(enable_imu_fusion=True, imu_fusion_ratio=ratio)
+    imu_kw = dict(
+        imu_roll=jnp.asarray(0.0, jnp.float64),
+        imu_pitch=jnp.asarray(0.0, jnp.float64),
+        imu_valid=jnp.asarray(True),
+    )
+    new_state, out = odometry.step(
+        state, p1, jnp.zeros(3, jnp.float64), jnp.asarray(0.25, jnp.float64),
+        cfg_on, REG, **imu_kw,
+    )
+    assert bool(out.is_keyframe)
+    ypr = np.asarray(lie.ypr_from_rot(new_state.keyframe_pose[:3, :3]))
+    np.testing.assert_allclose(ypr[2], (1 - ratio) * roll_err, atol=0.02)
+
+    # control: fusion off leaves the full drift in place
+    new_state0, out0 = odometry.step(
+        state, p1, jnp.zeros(3, jnp.float64), jnp.asarray(0.25, jnp.float64),
+        OdometryConfig(), REG,
+    )
+    ypr0 = np.asarray(lie.ypr_from_rot(new_state0.keyframe_pose[:3, :3]))
+    np.testing.assert_allclose(ypr0[2], roll_err, atol=0.02)
