@@ -135,6 +135,15 @@ class OdometryConfig:
     enable_transform_thresholding: bool = True
     max_acceptable_trans: float = 1.0
     max_acceptable_angle_deg: float = 3.0
+    # What to do with a rejected (too-large) scan-match delta:
+    # "QUIRK": reference parity — keyframe_pose * trans * radar_delta
+    #   (scan_matching_odometry_nodelet.cpp:561-568), which APPLIES the
+    #   implausible delta twice ("Ignore this frame" amplifies it; dormant
+    #   upstream because real registrations rarely exceed 1 m).
+    # "EGOVEL": intent-faithful — substitute ego-velocity dead reckoning
+    #   (the mat_est role of the enable_imu_thresholding branch, :543-552,
+    #   without the unused IMU-orientation part).
+    thresholding_fallback: str = "QUIRK"
     max_diff_trans: float = 0.3
     max_diff_angle: float = 0.8
     max_egovel_cum: float = 1.0

@@ -109,7 +109,10 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--sweep", action="store_true", help="also sweep az/el var")
+    ap.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # launch-file runtime params (radar_graph_slam.launch:34-36)
     cfg_apd = RegistrationConfig(method="FAST_APDGICP", transformation_epsilon=5e-4)

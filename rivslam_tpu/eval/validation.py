@@ -91,7 +91,13 @@ def run_course(
             accum_distance_thresh=min(cfg.loop.accum_distance_thresh, 40.0),
             min_loop_interval_dist=5.0,
         ),
-        odometry=dataclasses.replace(cfg.odometry, use_ego_vel=True),
+        odometry=dataclasses.replace(
+            cfg.odometry, use_ego_vel=True,
+            # intent-faithful fallback: the launch-parity QUIRK branch doubles
+            # any rejected delta (nodelet:561-568), which on a hard course
+            # turns one bad registration into a catastrophic pose jump
+            thresholding_fallback="EGOVEL",
+        ),
     )
     eng = pipeline.Engine(cfg, dtype=dtype)
     outputs = datasets.replay(eng, seq, capacity=params["capacity"])
@@ -140,7 +146,7 @@ def main(argv=None) -> None:
     ap.add_argument("--presets", default="cp,nyl,garden,mine")
     ap.add_argument("--matchers", default="FAST_APDGICP,FAST_GICP")
     ap.add_argument("--loop", default="on,off")
-    ap.add_argument("--seed", type=int, default=21)
+    ap.add_argument("--seed", default="21", help="seed or comma list (averaged)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument(
@@ -157,14 +163,26 @@ def main(argv=None) -> None:
             jax.config.update("jax_enable_x64", True)
 
     dtype = jnp.float64 if args.f64 else jnp.float32
+    seeds = [int(s) for s in str(args.seed).split(",")]
     rows = []
     for course in args.presets.split(","):
         for method in args.matchers.split(","):
             for lp in args.loop.split(","):
-                r = run_course(course, method, lp == "on", seed=args.seed,
-                               dtype=dtype)
-                rows.append(r)
-                print(json.dumps(r))
+                per_seed = []
+                for sd in seeds:
+                    r = run_course(course, method, lp == "on", seed=sd,
+                                   dtype=dtype)
+                    per_seed.append(r)
+                    print(json.dumps(r), flush=True)
+                agg = dict(per_seed[0])
+                agg["seeds"] = len(seeds)
+                for kk in ("odom_kf_ate_m", "opt_kf_ate_m", "full_ate_m",
+                           "re_trans_rmse_m", "re_rot_rmse_deg"):
+                    vals = [r[kk] for r in per_seed]
+                    agg[kk] = float(np.mean(vals))
+                    agg[kk + "_max"] = float(np.max(vals))
+                agg["loops_closed"] = int(np.sum([r["loops_closed"] for r in per_seed]))
+                rows.append(agg)
     print()
     print("| course | matcher | loop | loops | odom-KF ATE | opt-KF ATE | full ATE |")
     print("|---|---|---|---|---|---|---|")

@@ -130,8 +130,14 @@ def step(
     da = lie.rotation_angle(radar_delta[:3, :3])  # radians, vs degree param
     too_large = (dx > odo_cfg.max_acceptable_trans) | (da > odo_cfg.max_acceptable_angle_deg)
     thresholded = jnp.asarray(odo_cfg.enable_transform_thresholding) & too_large & reg.converged
-    odom_now = jnp.where(thresholded, state.keyframe_pose @ trans @ radar_delta, odom_now)
-    prev_trans_new = trans  # both branches store trans (:561-568, :581-584)
+    if odo_cfg.thresholding_fallback == "EGOVEL":
+        # substitute ego-velocity dead reckoning for the rejected delta
+        fallback_trans = state.prev_trans @ egovel_cum
+        odom_now = jnp.where(thresholded, state.keyframe_pose @ fallback_trans, odom_now)
+        prev_trans_new = jnp.where(thresholded, fallback_trans, trans)
+    else:  # QUIRK: reference parity (doubles the rejected delta)
+        odom_now = jnp.where(thresholded, state.keyframe_pose @ trans @ radar_delta, odom_now)
+        prev_trans_new = trans  # both branches store trans (:561-568, :581-584)
 
     trans_delta = lie.se3_inverse(state.keyframe_pose @ state.prev_trans) @ odom_now
 

@@ -112,12 +112,13 @@ def step(
     new_base, s2s_out = odometry.step(base, source, ego_vel, t, s2s_cfg, reg_cfg)
 
     # scan-to-map registration with the same guess composition (:489-498)
+    dt = t - base.last_time
+    ego_delta = ego_vel * dt
+    too_big = jnp.sum(ego_delta**2) > odo_cfg.max_egovel_cum**2
+    egovel_trans = jnp.where(too_big, base.egovel_trans, ego_delta)
+    egovel_cum = eye4.at[:3, 3].set(egovel_trans)
     if odo_cfg.use_ego_vel:
-        dt = t - base.last_time
-        ego_delta = ego_vel * dt
-        too_big = jnp.sum(ego_delta**2) > odo_cfg.max_egovel_cum**2
-        egovel_trans = jnp.where(too_big, base.egovel_trans, ego_delta)
-        guess = base.prev_trans @ eye4.at[:3, 3].set(egovel_trans)
+        guess = base.prev_trans @ egovel_cum
     else:
         guess = base.prev_trans
     reg_m = apdgicp.register_dispatch(source, state.target, guess, reg_cfg)
@@ -130,7 +131,12 @@ def step(
     da = lie.rotation_angle(radar_delta[:3, :3])
     too_large = (dx > odo_cfg.max_acceptable_trans) | (da > odo_cfg.max_acceptable_angle_deg)
     thresholded = jnp.asarray(odo_cfg.enable_transform_thresholding) & too_large & reg_m.converged
-    odom_m = jnp.where(thresholded, state.keyframe_pose_s2m @ trans_m @ radar_delta, odom_m)
+    if odo_cfg.thresholding_fallback == "EGOVEL":
+        fallback_trans = state.prev_trans_s2m @ egovel_cum
+        odom_m = jnp.where(thresholded, state.keyframe_pose_s2m @ fallback_trans, odom_m)
+        trans_m = jnp.where(thresholded, fallback_trans, trans_m)
+    else:  # QUIRK: reference parity (:566-567)
+        odom_m = jnp.where(thresholded, state.keyframe_pose_s2m @ trans_m @ radar_delta, odom_m)
 
     is_kf = s2s_out.is_keyframe
 

@@ -217,8 +217,10 @@ def simulate_sequence(
     max_range: float = 60.0,
     fov_deg: float = 56.5,
     range_noise_rel: float = 0.86 / 400.0,
-    az_noise_deg: float = 1.0,
-    el_noise_deg: float = 1.0,
+    az_noise_deg: float = 0.35,
+    el_noise_deg: float = 0.35,
+    az_bias_deg: float = 0.85,
+    el_bias_deg: float = 0.85,
     cartesian_noise: float = 0.0,
     doppler_noise: float = 0.05,
     imu_rate: float = 100.0,
@@ -244,7 +246,16 @@ def simulate_sequence(
       context's LIDAR_FOV, Scancontext.h:110);
     - spherical measurement noise matched to the APDGICP adaptive covariance
       generative model (range sigma = range_noise_rel*r, az/el sigma in deg;
-      fast_apdgicp_impl.hpp:166-184);
+      fast_apdgicp_impl.hpp:166-184), DECOMPOSED into a persistent
+      per-scatterer angular bias (az/el_bias_deg: array calibration,
+      multipath geometry, off-grid beam quantization — systematic while the
+      scene geometry persists, so it warps the map without driving
+      frame-to-frame registration error) plus per-frame thermal jitter
+      (az/el_noise_deg). Defaults give marginal sigma
+      sqrt(0.85^2+0.35^2) ~ 0.92 deg ~ the launch-file az/el var of 1.0
+      (launch:35-36); a pure-i.i.d. model at the full 1 deg makes every
+      frame pair ~0.25 m inconsistent at 30 m range — harder than the
+      real datasets the reference tracks;
     - per-target doppler from ego motion (+ moving targets) with noise —
       feeds REVE and dynamic-object removal;
     - intensity as a persistent world property (scan-context input);
@@ -264,6 +275,11 @@ def simulate_sequence(
         n_frames, radius=radius, height=height, dt=dt, omega=omega
     )
 
+    # persistent per-scatterer measurement biases (see docstring)
+    n_world = len(world)
+    w_az_bias = rng.normal(size=n_world) * np.radians(az_bias_deg)
+    w_el_bias = rng.normal(size=n_world) * np.radians(el_bias_deg)
+
     # dynamic objects: rigid clusters of ~24 points on straight paths
     dyn_centers = rng.uniform(-extent * 0.6, extent * 0.6, size=(n_dynamic, 3))
     if n_dynamic:
@@ -274,6 +290,8 @@ def simulate_sequence(
         dyn_dirs /= np.maximum(np.linalg.norm(dyn_dirs, axis=1, keepdims=True), 1e-9)
     dyn_vels = dyn_dirs * dynamic_speed
     dyn_template = rng.normal(size=(n_dynamic, 24, 3)) * np.array([1.5, 0.8, 0.6])
+    d_az_bias = rng.normal(size=n_dynamic * 24) * np.radians(az_bias_deg)
+    d_el_bias = rng.normal(size=n_dynamic * 24) * np.radians(el_bias_deg)
 
     frames = []
     half_fov = np.radians(fov_deg)
@@ -304,6 +322,8 @@ def simulate_sequence(
             idx, strength = idx[keep], strength[keep]
         pts = local[idx]
         vel_pts = np.zeros_like(pts)  # static targets
+        bias_az = w_az_bias[idx]
+        bias_el = w_el_bias[idx]
 
         # --- dynamic targets ----------------------------------------------
         if n_dynamic:
@@ -319,6 +339,8 @@ def simulate_sequence(
             strength = np.concatenate(
                 [strength, 18.0 + rng.normal(size=int(dvis.sum())) * 2.0]
             )
+            bias_az = np.concatenate([bias_az, d_az_bias[dvis]])
+            bias_el = np.concatenate([bias_el, d_el_bias[dvis]])
 
         # --- spherical measurement noise ----------------------------------
         rr = np.linalg.norm(pts, axis=1)
@@ -329,10 +351,11 @@ def simulate_sequence(
         # positive toward static targets when moving toward them
         dop = dirs @ v_local - np.sum(dirs * vel_pts, axis=1)
         dop += rng.normal(size=len(pts)) * doppler_noise
-        if range_noise_rel > 0 or az_noise_deg > 0 or el_noise_deg > 0:
+        if (range_noise_rel > 0 or az_noise_deg > 0 or el_noise_deg > 0
+                or az_bias_deg > 0 or el_bias_deg > 0):
             rr = rr * (1.0 + rng.normal(size=len(pts)) * range_noise_rel)
-            az = az + rng.normal(size=len(pts)) * np.radians(az_noise_deg)
-            el = el + rng.normal(size=len(pts)) * np.radians(el_noise_deg)
+            az = az + bias_az + rng.normal(size=len(pts)) * np.radians(az_noise_deg)
+            el = el + bias_el + rng.normal(size=len(pts)) * np.radians(el_noise_deg)
             pts = np.stack(
                 [rr * np.sin(el) * np.cos(az), rr * np.sin(el) * np.sin(az), rr * np.cos(el)],
                 axis=1,

