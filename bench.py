@@ -2,33 +2,105 @@
 
 Prints ONE JSON line:
   {"metric": "apdgicp_scan_match", "value": <frames/s>, "unit": "frames/s",
-   "vs_baseline": <ratio>}
+   "vs_baseline": <ratio>, "mfu": ..., "achieved_tflops": ...}
 
 Protocol: batched full scan-matching steps (covariance estimation + NN
-correspondences + LM to convergence) on synthetic radar-scale clouds
-(N=1024 points — the post-filter density regime of NTU4DRadLM, see
-SURVEY.md §7). To measure device-resident throughput independent of the
-host/tunnel dispatch latency, ROUNDS successive batched registrations are
-chained inside one jitted `lax.scan` (each round's input is perturbed by the
+correspondences + LM to convergence) on RADAR-REALISTIC synthetic frame
+pairs: consecutive frames of `io/synthetic.simulate_sequence` (structured
+scene, +-56.5 deg FoV, spherical range/az/el measurement noise, detection-
+falloff density, N=1024 points — the post-filter regime of NTU4DRadLM, see
+SURVEY.md §7), registered from an identity guess exactly like the
+reference's align.cpp microbenchmark (fast_apdgicp/src/align.cpp:29-103).
+On these pairs the LM driver does real work (6-10 accepted iterations,
+converges to ~0.1 m of the ground-truth 0.75 m relative transform) — an
+earlier protocol used unstructured random-scatter clouds on which the
+optimizer stalled at the first step, timing a near-no-op; see
+BENCHMARKS.md "benchmark honesty" note.
+
+To measure device-resident throughput independent of the host/tunnel
+dispatch latency, ROUNDS successive batched registrations are chained
+inside one jitted `lax.scan` (each round's input is perturbed by the
 previous round's output, forcing true serialization on device), and the
 whole dispatch is timed synchronously.
 
-Baseline: the reference publishes no numbers (BASELINE.md). Its own timing
-instrumentation (scan_matching_odometry_nodelet.cpp:467-471) with OpenMP
-FastAPDGICP runs a scan match in ~30 ms at this point count on a desktop
-CPU (align.cpp microbenchmark regime), i.e. ~33 frames/s. vs_baseline is
-measured frames/s over that 33 fps estimate; BASELINE.json targets >= 10x.
+Baseline: measured, not estimated. bench_assets/measure_cpu_baseline.py
+runs a C++/OpenMP transcription of the same math on the SAME frame pairs
+(thread-swept, best configuration wins) and records
+bench_assets/cpu_baseline.json; vs_baseline divides by that. The reference
+itself publishes no numbers (BASELINE.md).
+
+MFU: analytic FLOP model (VERDICT round-1 item #7). XLA's
+`compiled.cost_analysis()['flops']` counts `while` bodies ONCE (trip count
+is dynamic), so it can't score an iterative solver; instead bench.py
+counts the dominant N*M terms of the actual kernels (see
+`analytic_flops()` — covariance estimation + per-iteration
+correspondence/linearize, scaled by the MEASURED iteration count) and
+divides by wall time and the chip's f32 peak (TPU v5e: 197 TFLOP/s bf16,
+f32 matmuls at half rate — this pipeline is f32-dominated, so
+peak_f32 = 98.5e12 is the honest denominator). The XLA static count is
+printed alongside as a lower-bound cross-check.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_FPS = 33.0
 BATCH = 256
 ROUNDS = 4
 CAPACITY = 1024
+
+# TPU v5e peak: 197 TFLOP/s bf16; f32 matmul issue rate is half.
+PEAK_BF16 = 197e12
+PEAK_F32 = 98.5e12
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_JSON = os.path.join(_HERE, "bench_assets", "cpu_baseline.json")
+
+
+def analytic_flops(n: int, m: int, outer_iters: float, k: int = 20) -> float:
+    """Dominant-term FLOP count for ONE scan match (source prepare +
+    LM registration), following the actual kernels:
+
+    prepare (apdgicp_fast.estimate_covariances_fast):
+      pairwise d2 via sent@sent.T   2*n*m*3 + 3*n*m
+      approx_min_k + W build        ~3*n*m     (comparisons counted as 1)
+      W @ feats10 moment matmul     2*n*m*10
+    per outer LM iteration (register_fast.correspondences + linearize):
+      cross term p@tgt.T            2*n*m*3 + 3*n*m
+      argmin + min                  ~2*n*m
+      one-hot build + gather matmul n*m + 2*n*m*9
+      SoA per-point algebra         ~450*n     (adaptive cov, sym inv, JtMJ)
+    the final-stats pass after the while loop is one extra iteration's
+    correspondence+linearize; inner lambda-search error evaluations are
+    O(n) and negligible.
+    """
+    prepare = 2 * n * m * 3 + 3 * n * m + 3 * n * m + 2 * n * m * 10
+    per_iter = 2 * n * m * 3 + 3 * n * m + 2 * n * m + n * m + 2 * n * m * 9 + 450 * n
+    return prepare + (outer_iters + 1.0) * per_iter
+
+
+def load_pairs(batch: int, capacity: int):
+    """BATCH consecutive frame pairs from the radar-realistic simulator.
+
+    Same generator, seed and params as bench_assets/measure_cpu_baseline.py
+    so the CPU baseline times the exact same problems.
+    """
+    from rivslam_tpu.io import synthetic
+
+    seq, _ = synthetic.simulate_sequence(
+        seed=0, n_frames=batch + 1, capacity=capacity, radius=14.0, omega=0.22
+    )
+    gt = seq.gt_poses
+    srcs, tgts, rels = [], [], []
+    from rivslam_tpu.core.pointcloud import RadarCloud
+
+    for i in range(1, batch + 1):
+        srcs.append(RadarCloud.from_numpy(seq.frame(i)["xyz"], capacity))
+        tgts.append(RadarCloud.from_numpy(seq.frame(i - 1)["xyz"], capacity))
+        rels.append(np.linalg.inv(gt[i - 1]) @ gt[i])
+    return srcs, tgts, np.asarray(rels)
 
 
 def main():
@@ -37,25 +109,12 @@ def main():
 
     from rivslam_tpu.core.config import RegistrationConfig
     from rivslam_tpu.frontend import apdgicp
-    from rivslam_tpu.io import synthetic
-
-    import os
 
     cfg = RegistrationConfig(
         optimizer=os.environ.get("RIVSLAM_BENCH_OPT", "LM"),
     )  # launch-file runtime params (eps=0.1 etc.)
 
-    rng = np.random.default_rng(0)
-    world = synthetic.make_world(rng, n_points=20000)
-    srcs, tgts = [], []
-    T0 = np.eye(4)
-    T0[:3, 3] = [0.0, 0.0, 2.0]
-    for _ in range(BATCH):
-        T1 = T0.copy()
-        # guess-error regime of the real pipeline (const-velocity prior)
-        T1[:3, 3] += rng.normal(size=3) * np.array([0.1, 0.1, 0.02])
-        tgts.append(synthetic.observe(world, T0, rng, capacity=CAPACITY, noise=0.01))
-        srcs.append(synthetic.observe(world, T1, rng, capacity=CAPACITY, noise=0.01))
+    srcs, tgts, gt_rel = load_pairs(BATCH, CAPACITY)
     stack = lambda clouds, f: jnp.stack([getattr(c, f) for c in clouds])
     src_xyz, src_mask = stack(srcs, "xyz"), stack(srcs, "mask")
     tgt_xyz, tgt_mask = stack(tgts, "xyz"), stack(tgts, "mask")
@@ -76,35 +135,69 @@ def main():
                 lambda a, b, c: apdgicp.register_dispatch(a, b, c, cfg)
             )(src, tgt, g)
             # next round's input depends on this round's output: serialized
-            return jnp.sum(res.error) * 1e-12 + eps + 1e-6, (res.converged, res.T)
+            return (
+                jnp.sum(res.error) * 1e-12 + eps + 1e-6,
+                (res.converged, res.T, res.iterations),
+            )
 
         eps0 = jnp.asarray(0.0, jnp.float32)
-        _, (conv, Ts) = jax.lax.scan(body, eps0, None, length=ROUNDS)
-        return conv, Ts
+        _, (conv, Ts, iters) = jax.lax.scan(body, eps0, None, length=ROUNDS)
+        return conv, Ts, iters
 
-    conv, Ts = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)  # compile
-    jax.block_until_ready((conv, Ts))
+    lowered = chained.lower(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
+    compiled = lowered.compile()
+    try:
+        xla_static_flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        xla_static_flops = float("nan")
+
+    conv, Ts, iters = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)  # warm
+    jax.block_until_ready((conv, Ts, iters))
 
     times = []
     for i in range(3):
         sx = src_xyz + np.float32((i + 1) * 1e-5)
         t0 = time.perf_counter()
-        conv, Ts = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
-        np.asarray(Ts)  # host fetch — the only reliable completion barrier
+        conv, Ts, iters = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
+        Ts_host = np.asarray(Ts)  # host fetch — the only reliable barrier
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
+    mean_iters = float(np.mean(np.asarray(iters)))
+
+    # registration-quality sanity: the benchmark must be timing real work.
+    # Median translation error of the last round vs ground truth; the
+    # protocol is invalid if the solver is stalling at the identity guess.
+    terr = np.linalg.norm(Ts_host[-1][:, :3, 3] - gt_rel[:, :3, 3], axis=1)
+    med_terr = float(np.median(terr))
+    gt_mag = float(np.median(np.linalg.norm(gt_rel[:, :3, 3], axis=1)))
 
     fps = BATCH * ROUNDS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "apdgicp_scan_match",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
-        )
-    )
+    # per-frame analytic FLOPs at the measured iteration count; the batched
+    # target prepare (once per dispatch, not per frame) is amortized in.
+    frame_flops = analytic_flops(CAPACITY, CAPACITY, mean_iters)
+    tgt_prepare = (2 * CAPACITY * CAPACITY * 3 + 3 * CAPACITY * CAPACITY
+                   + 3 * CAPACITY * CAPACITY + 2 * CAPACITY * CAPACITY * 10)
+    total_flops = BATCH * ROUNDS * frame_flops + BATCH * tgt_prepare
+    achieved = total_flops / dt
+    baseline_fps = None
+    if os.path.exists(_BASELINE_JSON):
+        with open(_BASELINE_JSON) as f:
+            baseline_fps = json.load(f).get("baseline_fps")
+    out = {
+        "metric": "apdgicp_scan_match",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "baseline_fps": baseline_fps,
+        "mean_lm_iterations": round(mean_iters, 2),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu": round(achieved / PEAK_F32, 4),
+        "mfu_bf16_peak": round(achieved / PEAK_BF16, 4),
+        "xla_static_tflops": round(xla_static_flops / dt / 1e12, 3),
+        "median_terr_m": round(med_terr, 3),
+        "median_gt_motion_m": round(gt_mag, 3),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
