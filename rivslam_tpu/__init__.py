@@ -20,4 +20,35 @@ Layer map mirrors SURVEY.md §7.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# TPU MXUs execute f32 matmuls as single-pass bfloat16 by default
+# (jax_default_matmul_precision=None). That is catastrophic for this
+# workload: every 4x4 pose product injects ~1e-3 relative error, so chained
+# odometry rotations drift off SO(3) at ~0.2% det per frame (exponential
+# blow-up through the keyframe chain), NN distance matrices lose the
+# cancellation headroom |p|^2+|t|^2-2p.t needs at 30 m coordinate scale,
+# and covariance moments (sum_xx/n - mean^2) cancel below the noise.
+# Forcing f32 costs ~39% registration throughput on v5e (bench.py:
+# 5415 -> 3289 fps, still 22x the measured CPU baseline) and halves the
+# registration error to f64-CPU parity (0.07 -> 0.038 m median on the
+# radar-realistic course). Override with RIVSLAM_MATMUL_PRECISION
+# (e.g. "bfloat16" to restore the fast path for experiments).
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("RIVSLAM_MATMUL_PRECISION", "float32"),
+)
+
+# Persistent compilation cache for every entry point (CLI, eval harnesses,
+# bench) — first compiles of the fused frame step / batched loop verify are
+# tens of seconds through the axon relay; cached reloads are milliseconds.
+_cache_dir = _os.environ.get(
+    "RIVSLAM_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
+_jax.config.update("jax_compilation_cache_dir", _cache_dir)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from rivslam_tpu.core import lie  # noqa: F401
