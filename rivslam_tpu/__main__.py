@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
     ap.add_argument("--out", required=True, help="output TUM trajectory file")
     ap.add_argument("--map", default=None, help="optional output map PCD")
+    ap.add_argument("--map-utm", action="store_true",
+                    help="shift map points into absolute UTM using the GPS "
+                         "zero_utm origin (SaveMap req.utm parity)")
     ap.add_argument("--preset", default=None,
                     help="dataset preset (ntu4dradlm|cp|nyl|garden|mine|hugin|sjtu|long)")
     ap.add_argument("--loop-candidates", type=int, default=None,
@@ -170,7 +173,10 @@ def main(argv=None) -> int:
             kf_poses = jnp2.asarray(eng.optimized_keyframe_poses())
             map_xyz, valid = map_mod.assemble_map(kf_xyz, kf_mask, kf_poses)
             pts = np.asarray(map_xyz)[np.asarray(valid)]
-            map_mod.save_map_pcd(args.map, pts)
+            map_mod.save_map_pcd(
+                args.map, pts, zero_utm=st.zero_utm,
+                apply_utm_offset=args.map_utm,
+            )
             print(f"wrote {len(pts)} map points to {args.map}")
 
     if args.ckpt:

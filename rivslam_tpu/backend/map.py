@@ -48,8 +48,22 @@ def assemble_map(
     return jnp.where(ds.mask[:, None], centers, 0.0), ds.mask
 
 
-def save_map_pcd(path: str, xyz: np.ndarray) -> None:
-    """Write an ASCII PCD (SaveMap service output format parity)."""
+def save_map_pcd(
+    path: str, xyz: np.ndarray, zero_utm: np.ndarray | None = None,
+    apply_utm_offset: bool = False,
+) -> None:
+    """Write an ASCII PCD (SaveMap service output format parity).
+
+    `zero_utm` + `apply_utm_offset` mirror the SaveMap service's UTM handling
+    (radar_graph_slam_nodelet.cpp:1252-1263): with req.utm and a known
+    zero_utm the points are shifted into absolute UTM coordinates, and a
+    `<dest>.utm` sidecar records the origin either way."""
+    xyz = np.asarray(xyz, np.float64)
+    if zero_utm is not None and apply_utm_offset:
+        xyz = xyz + np.asarray(zero_utm, np.float64)[None, :]
+    if zero_utm is not None:
+        with open(path + ".utm", "w") as f:
+            f.write("%.6f %.6f %.6f\n" % tuple(np.asarray(zero_utm, np.float64)))
     n = xyz.shape[0]
     with open(path, "w") as f:
         f.write(

@@ -274,6 +274,30 @@ class LoopConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GpsConfig:
+    """GPS/UTM position priors on global-graph keyframes (launch:17
+    enable_gps; EdgeSE3PriorXYZ per include/g2o/edge_se3_priorxyz.hpp;
+    per-keyframe utm_coord slot, keyframe.hpp:52). The reference ships the
+    machinery dormant; here it is wired end-to-end: NavSatFix fixes are
+    covariance-gated + UTM-converted at ingest (io/rosbag1.convert_bag,
+    io/geo.py), the first accepted fix becomes the zero_utm origin
+    (radar_graph_slam_nodelet.cpp:1219,1453), and each keyframe within
+    max_association_dt of a fix gets a translation prior in the global
+    solve."""
+
+    enable: bool = True  # use fixes when the sequence carries them
+    max_association_dt: float = 0.2  # stamp-pairing tolerance [s]
+    # prior stddevs when the fix carries no covariance (hdl_graph_slam
+    # heritage defaults: gps_edge_stddev_xy / _z)
+    stddev_xy: float = 10.0
+    stddev_z: float = 5.0
+    use_fix_covariance: bool = True  # info = 1/cov from NavSatFix when present
+    # run the global solve every N GPS-tagged keyframes even without loop
+    # events, so priors actually bound drift online (0 = only at loop/final)
+    solve_interval: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class DistConfig:
     """Device-mesh layout for multi-chip runs (new capability, BASELINE.json #5)."""
 
@@ -291,6 +315,7 @@ class EngineConfig:
     imu: ImuConfig = ImuConfig()
     backend: BackendConfig = BackendConfig()
     loop: LoopConfig = LoopConfig()
+    gps: GpsConfig = GpsConfig()
     dist: DistConfig = DistConfig()
 
 

@@ -44,6 +44,11 @@ def dump(engine, directory: str) -> None:
         "last_loop_accum": st.last_loop_accum,
         "kf_stamps": list(map(float, st.kf_stamps)),
         "kf_accum": list(map(float, st.kf_accum)),
+        # nan (absent baro) is not valid JSON — encode as None
+        "kf_alt": [None if np.isnan(a) else float(a) for a in st.kf_alt],
+        # SaveMap/dump zero_utm sidecar parity (nodelet:1219-1221)
+        "zero_utm": None if st.zero_utm is None else list(map(float, st.zero_utm)),
+        "gps_kf_since_solve": st.gps_kf_since_solve,
         "n_traj": len(st.trajectory),
         "has_odo": st.odo is not None,
         "has_backend": st.backend is not None,
@@ -103,6 +108,15 @@ def load(engine, directory: str) -> None:
     st.last_loop_accum = manifest["last_loop_accum"]
     st.kf_stamps = manifest["kf_stamps"]
     st.kf_accum = manifest["kf_accum"]
+    # absent in pre-GPS manifests (golden ckpt_v1): default baro to nan,
+    # UTM origin to unset
+    st.kf_alt = [
+        float("nan") if a is None else float(a)
+        for a in manifest.get("kf_alt", [None] * st.kf_count)
+    ]
+    zu = manifest.get("zero_utm")
+    st.zero_utm = None if zu is None else np.asarray(zu, np.float64)
+    st.gps_kf_since_solve = manifest.get("gps_kf_since_solve", 0)
     c = engine.cfg
     dtype = engine.dtype
 

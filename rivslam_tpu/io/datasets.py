@@ -78,6 +78,9 @@ class RadarSequence:
     gt_poses: np.ndarray | None = None  # [G, 4, 4]
     baro_stamps: np.ndarray | None = None  # [B] barometer stream (Barometer.msg)
     baro_alt: np.ndarray | None = None  # [B] altitude
+    gps_stamps: np.ndarray | None = None  # [G] GPS fixes (NavSatFix, cov-gated)
+    gps_utm: np.ndarray | None = None  # [G,3] UTM (easting, northing, altitude)
+    gps_cov: np.ndarray | None = None  # [G,3] diag position covariance (m^2)
 
     @property
     def num_frames(self) -> int:
@@ -101,6 +104,18 @@ class RadarSequence:
         if abs(float(self.baro_stamps[i]) - t) > max_gap:
             return None
         return float(self.baro_alt[i])
+
+    def gps_at(self, t: float, max_gap: float = 0.2):
+        """Nearest covariance-gated GPS fix within max_gap seconds of t:
+        (utm [3], cov_diag [3]) or (None, None). Mirrors the reference's
+        stamp association tolerance (gps_traj_align.cpp associate max_dt)."""
+        if self.gps_stamps is None or len(self.gps_stamps) == 0:
+            return None, None
+        i = int(np.argmin(np.abs(self.gps_stamps - t)))
+        if abs(float(self.gps_stamps[i]) - t) > max_gap:
+            return None, None
+        cov = self.gps_cov[i] if self.gps_cov is not None else None
+        return self.gps_utm[i], cov
 
     def imu_between(self, t0: float, t1: float, capacity: int):
         """Masked fixed-capacity IMU batch in (t0, t1], with per-sample dt
@@ -142,6 +157,11 @@ class RadarSequence:
         if self.baro_stamps is not None:
             data["baro_stamps"] = self.baro_stamps
             data["baro_alt"] = self.baro_alt
+        if self.gps_stamps is not None:
+            data["gps_stamps"] = self.gps_stamps
+            data["gps_utm"] = self.gps_utm
+            if self.gps_cov is not None:
+                data["gps_cov"] = self.gps_cov
         np.savez_compressed(path, **data)
 
     @staticmethod
@@ -160,6 +180,9 @@ class RadarSequence:
             gt_poses=d["gt_poses"] if "gt_poses" in d else None,
             baro_stamps=d["baro_stamps"] if "baro_stamps" in d else None,
             baro_alt=d["baro_alt"] if "baro_alt" in d else None,
+            gps_stamps=d["gps_stamps"] if "gps_stamps" in d else None,
+            gps_utm=d["gps_utm"] if "gps_utm" in d else None,
+            gps_cov=d["gps_cov"] if "gps_cov" in d else None,
         )
 
     @staticmethod
@@ -246,9 +269,11 @@ def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int =
         )
         t0 = prev_t if prev_t is not None else f["stamp"] - 0.1
         dts, acc, gyr, m = seq.imu_between(t0, f["stamp"], imu_capacity)
+        gps_utm, gps_cov = seq.gps_at(f["stamp"])
         out = engine.process_frame(
             cloud, f["stamp"], dts, acc, gyr, m,
             altitude=seq.baro_at(f["stamp"]),
+            gps_utm=gps_utm, gps_cov=gps_cov,
         )
         outputs.append(out)
         prev_t = f["stamp"]

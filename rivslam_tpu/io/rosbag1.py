@@ -155,6 +155,28 @@ def parse_barometer(body: bytes) -> dict:
     return dict(header=h, altitude=r.f32(), pressure=r.f32(), temperature=r.f32())
 
 
+def parse_navsatfix(body: bytes) -> dict:
+    """sensor_msgs/NavSatFix: header, NavSatStatus{int8 status, uint16
+    service}, latitude/longitude/altitude (f64), position_covariance f64[9],
+    position_covariance_type u8 (the GPS input of gps_traj_align.cpp:104 and
+    the backend's enable_gps path)."""
+    r = _Reader(body)
+    h = r.header()
+    status = r.i8()
+    service = struct.unpack_from("<H", r.buf, r.off)[0]
+    r.off += 2
+    lat = r.f64()
+    lon = r.f64()
+    alt = r.f64()
+    cov = r.f64_array(9)
+    cov_type = r.u8()
+    return dict(
+        header=h, status=status, service=service, latitude=lat,
+        longitude=lon, altitude=alt, position_covariance=cov,
+        position_covariance_type=cov_type,
+    )
+
+
 def parse_pointcloud(body: bytes) -> dict:
     """sensor_msgs/PointCloud: header, points[], channels[] (Eagle layout)."""
     r = _Reader(body)
@@ -283,20 +305,37 @@ def convert_bag(
     radar_topic: str = "/radar_enhanced_pcl",
     imu_topic: str = "/vectornav/imu",
     baro_topic: str = "/barometer",
+    gps_topic: str = "/ublox/fix",
+    gps_max_cov_xx: float = 3.0,
+    gps_max_cov_zz: float = 8.0,
 ):
     """NTU4DRadLM-style bag -> rivseq .npz, auto-detecting the radar format
-    from the connection type (mirrors preprocessing_nodelet.cpp:66-80)."""
-    from rivslam_tpu.io import datasets
+    from the connection type (mirrors preprocessing_nodelet.cpp:66-80).
+    NavSatFix fixes are covariance-gated and converted to UTM exactly like
+    gps_traj_align.cpp:157-170 (skip if cov_xx > 3 or cov_zz > 8; keep
+    (easting, northing, altitude) + diagonal covariance)."""
+    from rivslam_tpu.io import datasets, geo
 
     frames, imu_t, imu_a, imu_g = [], [], [], []
     baro_t, baro_a = [], []
+    gps_t, gps_lla, gps_cov = [], [], []
     for topic, msg_type, stamp, body in read_messages(
-        bag_path, topics=[radar_topic, imu_topic, baro_topic]
+        bag_path, topics=[radar_topic, imu_topic, baro_topic, gps_topic]
     ):
         if topic == baro_topic or msg_type.endswith("Barometer"):
             m = parse_barometer(body)
             baro_t.append(m["header"]["stamp"].to_sec())
             baro_a.append(m["altitude"])
+            continue
+        if topic == gps_topic or msg_type.endswith("NavSatFix"):
+            m = parse_navsatfix(body)
+            c = m["position_covariance"]
+            # fix-quality gate (gps_traj_align.cpp:158-159)
+            if c[0] > gps_max_cov_xx or c[8] > gps_max_cov_zz:
+                continue
+            gps_t.append(m["header"]["stamp"].to_sec())
+            gps_lla.append((m["latitude"], m["longitude"], m["altitude"]))
+            gps_cov.append((c[0], c[4], c[8]))
             continue
         if topic == imu_topic:
             m = parse_imu(body)
@@ -334,5 +373,12 @@ def convert_bag(
     if baro_t:
         seq.baro_stamps = np.asarray(baro_t)
         seq.baro_alt = np.asarray(baro_a)
+    if gps_t:
+        lla = np.asarray(gps_lla, np.float64)
+        seq.gps_stamps = np.asarray(gps_t)
+        seq.gps_utm = np.atleast_2d(
+            geo.navsat_to_utm(lla[:, 0], lla[:, 1], lla[:, 2])
+        )
+        seq.gps_cov = np.asarray(gps_cov, np.float64)
     seq.save(out_path)
     return seq

@@ -86,6 +86,9 @@ class EngineState:
     kf_accum: list = dataclasses.field(default_factory=list)
     kf_alt: list = dataclasses.field(default_factory=list)  # barometer altitude (nan if absent)
     kf_odom: list = dataclasses.field(default_factory=list)  # raw odometry 4x4
+    zero_utm: np.ndarray | None = None  # UTM origin = first accepted GPS fix
+    # (radar_graph_slam_nodelet.cpp:1453 boost::optional<Vector3d> zero_utm)
+    gps_kf_since_solve: int = 0  # GPS-tagged keyframes since last global solve
     floor_prev: object = None  # [4] fallback plane chain (initial [0,0,1,0])
     trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
 
@@ -266,10 +269,15 @@ class Engine:
         imu_gyr: np.ndarray,
         imu_mask: np.ndarray,
         altitude: float | None = None,
+        gps_utm: np.ndarray | None = None,
+        gps_cov: np.ndarray | None = None,
     ) -> dict:
         """Feed one radar frame (+IMU batch since the last). `altitude` is the
         barometer reading (msg/Barometer.msg), used only by the loop
-        prefilter's max_baro_difference gate. Returns outputs."""
+        prefilter's max_baro_difference gate. `gps_utm` is an optional
+        covariance-gated UTM fix [easting, northing, alt] paired to this
+        frame (keyframe.hpp:52 utm_coord); it becomes a translation prior on
+        the keyframe in the global graph. Returns outputs."""
         c = self.cfg
         st = self.state
         self.key, k1 = jax.random.split(self.key)
@@ -343,7 +351,9 @@ class Engine:
         loop_found = False
         if is_kf:
             with self.timers.time("loop"):
-                loop_found = self._on_keyframe(cl, odom_pose, stamp, altitude)
+                loop_found = self._on_keyframe(
+                    cl, odom_pose, stamp, altitude, gps_utm, gps_cov
+                )
 
         st.frame_idx += 1
         pose = np.asarray(bout.pose)
@@ -446,7 +456,10 @@ class Engine:
         return np.asarray(lie.se3_matrix(nav.R, nav.p))
 
     # ------------------------------------------------------------------
-    def _on_keyframe(self, cl: RadarCloud, odom_pose, stamp: float, altitude=None) -> bool:
+    def _on_keyframe(
+        self, cl: RadarCloud, odom_pose, stamp: float, altitude=None,
+        gps_utm=None, gps_cov=None,
+    ) -> bool:
         c = self.cfg
         st = self.state
         if st.scdb is None:
@@ -504,19 +517,54 @@ class Engine:
         st.kf_alt.append(float("nan") if altitude is None else float(altitude))
         st.kf_count += 1
 
+        # ---- GPS/UTM translation prior on this keyframe (EdgeSE3PriorXYZ
+        # role, edge_se3_priorxyz.hpp; keyframe.hpp:52 utm_coord). The first
+        # accepted fix anchors the UTM origin (nodelet:1453 zero_utm) so
+        # graph coordinates stay near the odometry frame's origin.
+        if c.gps.enable and gps_utm is not None:
+            utm = np.asarray(gps_utm, np.float64).reshape(3)
+            if st.zero_utm is None:
+                st.zero_utm = utm.copy()
+            rel_utm = utm - st.zero_utm
+            if c.gps.use_fix_covariance and gps_cov is not None:
+                info3 = 1.0 / np.maximum(np.asarray(gps_cov, np.float64), 1e-6)
+            else:
+                info3 = 1.0 / np.asarray(
+                    [c.gps.stddev_xy**2, c.gps.stddev_xy**2, c.gps.stddev_z**2]
+                )
+            g2 = st.graph
+            st.graph = dataclasses.replace(
+                g2,
+                gps_xyz=g2.gps_xyz.at[k].set(jnp.asarray(rel_utm, self.dtype)),
+                gps_info=g2.gps_info.at[k].set(jnp.asarray(info3, self.dtype)),
+                gps_mask=g2.gps_mask.at[k].set(True),
+            )
+            st.gps_kf_since_solve += 1
+            if (
+                c.gps.solve_interval > 0
+                and st.gps_kf_since_solve >= c.gps.solve_interval
+            ):
+                with self.timers.time("graph_opt"):
+                    st.graph, _ = self._solve_graph(st.graph)
+                st.gps_kf_since_solve = 0
+
         # ---- loop detection (activated, unlike the reference)
         if not c.loop.enable or st.kf_count < c.loop.num_exclude_recent + 2:
             return False
-        accum_arr = jnp.zeros(K, dtype=self.dtype).at[: st.kf_count].set(
-            jnp.asarray(st.kf_accum, dtype=self.dtype)
-        )
+        # pad on the HOST: a jnp `.at[:count].set` with a count-shaped RHS
+        # compiles a fresh padding program per keyframe count (each compile
+        # is a relay round trip on axon) — numpy padding keeps every device
+        # array shape fixed at [K]
+        accum_np = np.zeros(K, np.float64)
+        accum_np[: st.kf_count] = st.kf_accum
+        accum_arr = jnp.asarray(accum_np, dtype=self.dtype)
         alt_np = np.asarray(st.kf_alt, dtype=np.float64)
-        alt_arr = jnp.zeros(K, dtype=self.dtype).at[: st.kf_count].set(
-            jnp.asarray(np.nan_to_num(alt_np), dtype=self.dtype)
-        )
-        alt_valid = jnp.zeros(K, dtype=bool).at[: st.kf_count].set(
-            jnp.asarray(~np.isnan(alt_np))
-        )
+        alt_pad = np.zeros(K, np.float64)
+        alt_pad[: st.kf_count] = np.nan_to_num(alt_np)
+        alt_arr = jnp.asarray(alt_pad, dtype=self.dtype)
+        alt_valid_np = np.zeros(K, bool)
+        alt_valid_np[: st.kf_count] = ~np.isnan(alt_np)
+        alt_valid = jnp.asarray(alt_valid_np)
         cand = detector.prefilter_candidates(
             accum_arr,
             st.graph.R,
@@ -610,15 +658,20 @@ class Engine:
         # re-optimize the global graph
         with self.timers.time("graph_opt"):
             st.graph, chi2 = self._solve_graph(st.graph)
+        st.gps_kf_since_solve = 0
         return True
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:
         """Re-optimize the global graph over the final keyframe set (the
         reference exposes the same capability through its dump/optimize
-        services). No-op when no loops were found."""
+        services). No-op when the graph has no information beyond the
+        odometry chain (no loops and no GPS priors)."""
         st = self.state
-        if st.graph is None or not bool(np.asarray(st.graph.loop_mask).any()):
+        if st.graph is None or not (
+            bool(np.asarray(st.graph.loop_mask).any())
+            or bool(np.asarray(st.graph.gps_mask).any())
+        ):
             return
         with self.timers.time("graph_opt"):
             st.graph, _ = self._solve_graph(st.graph)
@@ -650,7 +703,10 @@ class Engine:
             not corrected
             or st.graph is None
             or st.kf_count == 0
-            or not bool(np.asarray(st.graph.loop_mask).any())
+            or not (
+                bool(np.asarray(st.graph.loop_mask).any())
+                or bool(np.asarray(st.graph.gps_mask).any())
+            )
         ):
             return ts, poses
         G = self.optimized_keyframe_poses()  # [K,4,4] map frame
