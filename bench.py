@@ -112,6 +112,8 @@ def main():
 
     cfg = RegistrationConfig(
         optimizer=os.environ.get("RIVSLAM_BENCH_OPT", "LM"),
+        # A/B the fused Pallas correspondence kernel (ops/pallas_nn)
+        use_pallas_correspondence=bool(int(os.environ.get("RIVSLAM_BENCH_PALLAS", "0"))),
     )  # launch-file runtime params (eps=0.1 etc.)
 
     srcs, tgts, gt_rel = load_pairs(BATCH, CAPACITY)

@@ -120,6 +120,11 @@ class RegistrationConfig:
     # identical LM semantics, SoA component arithmetic, one-hot MXU gathers,
     # approx-kNN covariance neighborhoods. Exact path kept for parity tests.
     use_fast_path: bool = True
+    # Fused Pallas correspondence kernel (ops/pallas_nn.fused_correspondence
+    # _pallas): NN argmin + target-feature gather in one VMEM-resident pass,
+    # O(N+M) HBM traffic instead of the XLA path's [N,M] distance +
+    # one-hot-gather matrices. f32 only; falls back to interpret mode off-TPU.
+    use_pallas_correspondence: bool = False
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
     dtype: str = "float32"

@@ -40,11 +40,13 @@ COURSES: dict[str, dict] = {
     # slow handheld loop, dense close-range returns
     "cp": dict(radius=8.0, omega=0.25, dt=0.25, n_frames=120, capacity=1024,
                world_points=20000, extent=30.0),
-    # handheld, larger open loop
-    "nyl": dict(radius=12.0, omega=0.17, dt=0.25, n_frames=130, capacity=1024,
+    # handheld, larger open loop (omega*dt*n must exceed 4*pi so the course
+    # really is two laps — the round-2 judge matrix first shipped nyl at 5.5
+    # rad, i.e. not even one revisit)
+    "nyl": dict(radius=12.0, omega=0.17, dt=0.25, n_frames=300, capacity=1024,
                 world_points=24000, extent=40.0),
     # cart, faster
-    "garden": dict(radius=15.0, omega=0.2, dt=0.25, n_frames=135, capacity=1024,
+    "garden": dict(radius=15.0, omega=0.2, dt=0.25, n_frames=260, capacity=1024,
                    world_points=24000, extent=45.0),
     # underground: confined extent, moving machinery, noisier doppler
     "mine": dict(radius=10.0, omega=0.3, dt=0.25, n_frames=95, capacity=1024,

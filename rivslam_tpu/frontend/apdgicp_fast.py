@@ -199,23 +199,39 @@ def register_fast(
     tgt_feats = jnp.stack([tx_, ty_, tz_] + list(t_c), axis=1)  # [M, 9]
     m_idx = jnp.arange(target.xyz.shape[0], dtype=jnp.int32)
 
+    # the fused Pallas kernel is compiled for real TPUs; everywhere else
+    # (CPU tests, virtual meshes) it runs interpreted for bit-level parity
+    pallas_interpret = jax.default_backend() != "tpu"
+
     def correspondences(T):
         R, t = T[:3, :3], T[:3, 3]
         px = R[0, 0] * sx0 + R[0, 1] * sy0 + R[0, 2] * sz0 + t[0]
         py = R[1, 0] * sx0 + R[1, 1] * sy0 + R[1, 2] * sz0 + t[1]
         pz = R[2, 0] * sx0 + R[2, 1] * sy0 + R[2, 2] * sz0 + t[2]
-        # NN: cross term on MXU ([N,3]x[3,M]); norms via components
         p = jnp.stack([px, py, pz], axis=1)
-        cross = p @ tgt_sent.T
-        d2 = (px * px + py * py + pz * pz)[:, None] + tn2[None, :] - 2.0 * cross
-        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        best = jnp.min(d2, axis=1)
-        corr = source.mask & (best < cfg.max_correspondence_distance**2)
-        w = corr.astype(dtype)
+        if cfg.use_pallas_correspondence:
+            from rivslam_tpu.ops import pallas_nn
 
-        # gather target components via one-hot matmul (MXU)
-        onehot = (m_idx[None, :] == idx[:, None]).astype(dtype)
-        gathered = onehot @ tgt_feats  # [N, 9]
+            idx, best, gathered = pallas_nn.fused_correspondence_pallas(
+                p, tgt_sent, target.mask, tgt_feats,
+                interpret=pallas_interpret,
+            )
+            best = best.astype(dtype)
+            gathered = gathered.astype(dtype)
+            corr = source.mask & (best < cfg.max_correspondence_distance**2)
+            w = corr.astype(dtype)
+        else:
+            # NN: cross term on MXU ([N,3]x[3,M]); norms via components
+            cross = p @ tgt_sent.T
+            d2 = (px * px + py * py + pz * pz)[:, None] + tn2[None, :] - 2.0 * cross
+            idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            best = jnp.min(d2, axis=1)
+            corr = source.mask & (best < cfg.max_correspondence_distance**2)
+            w = corr.astype(dtype)
+
+            # gather target components via one-hot matmul (MXU)
+            onehot = (m_idx[None, :] == idx[:, None]).astype(dtype)
+            gathered = onehot @ tgt_feats  # [N, 9]
         gx, gy, gz = gathered[:, 0], gathered[:, 1], gathered[:, 2]
         b00, b01, b02 = gathered[:, 3], gathered[:, 4], gathered[:, 5]
         b11, b12, b22 = gathered[:, 6], gathered[:, 7], gathered[:, 8]

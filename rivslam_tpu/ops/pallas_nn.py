@@ -71,6 +71,108 @@ def _pad_to(x, mult, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _corr_kernel(q_ref, r_ref, rmask_ref, feats_ref, idx_ref, d2_ref, g_ref):
+    """Fused correspondence: NN argmin + in-pass gather of the best match's
+    feature row. The per-tile gather is a [TQ, TM] one-hot x [TM, F] matmul
+    (MXU) carried under the running-min mask, so neither the [N, M] distance
+    matrix nor a full [N, M] one-hot ever exists — HBM traffic is O(N+M).
+
+    Pallas re-design of the CUDA correspondence+covariance pipeline
+    (fast_apdgicp/src/fast_gicp/cuda/find_voxel_correspondences.cu:114,
+    brute_force_knn.cu:15-111): the GPU kd-tree/brute-force pass maps to a
+    tiled MXU scan with VMEM-resident running state.
+    """
+    q = q_ref[:]  # [3, TQ]
+    qn = jnp.sum(q * q, axis=0)  # [TQ]
+    m_total = r_ref.shape[1]
+    num_m = m_total // TILE_M
+    F = feats_ref.shape[1]
+    TQ = q.shape[1]
+
+    def body(j, carry):
+        best_d2, best_idx, best_g = carry  # [TQ], [TQ] i32, [TQ, F]
+        r = r_ref[:, pl.ds(j * TILE_M, TILE_M)]  # [3, TM]
+        rmask = rmask_ref[0, pl.ds(j * TILE_M, TILE_M)]  # [TM]
+        feats = feats_ref[pl.ds(j * TILE_M, TILE_M), :]  # [TM, F]
+        rn = jnp.sum(r * r, axis=0)  # [TM]
+        cross = jax.lax.dot_general(
+            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, TM]
+        d2 = qn[:, None] + rn[None, :] - 2.0 * cross
+        d2 = jnp.where(rmask[None, :] > 0.5, d2, BIG)
+        loc_d2 = jnp.min(d2, axis=1)  # [TQ]
+        loc = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [TQ]
+        # gather the local winner's features: exact one-hot on the min value
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TQ, TILE_M), 1)
+        onehot = (cols == loc[:, None]).astype(jnp.float32)
+        loc_g = jax.lax.dot_general(
+            onehot, feats, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, F]
+        upd = loc_d2 < best_d2
+        return (
+            jnp.where(upd, loc_d2, best_d2),
+            jnp.where(upd, loc + j * TILE_M, best_idx),
+            jnp.where(upd[:, None], loc_g, best_g),
+        )
+
+    init = (
+        jnp.full((TQ,), BIG, dtype=jnp.float32),
+        jnp.zeros((TQ,), dtype=jnp.int32),
+        jnp.zeros((TQ, F), dtype=jnp.float32),
+    )
+    best_d2, best_idx, best_g = jax.lax.fori_loop(0, num_m, body, init)
+    idx_ref[0, :] = best_idx
+    d2_ref[0, :] = best_d2
+    g_ref[:] = best_g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_correspondence_pallas(
+    query: jax.Array,  # [N, 3] f32 (already transformed source points)
+    ref: jax.Array,  # [M, 3] f32
+    ref_mask: jax.Array,  # [M] bool
+    ref_feats: jax.Array,  # [M, F] per-target features to gather (F <= 128)
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact masked 1-NN returning (idx [N], d2 [N], gathered [N, F])."""
+    n = query.shape[0]
+    f = ref_feats.shape[1]
+    q_t = _pad_to(query.astype(jnp.float32).T, TILE_Q, axis=1)  # [3, Np]
+    r_t = _pad_to(ref.astype(jnp.float32).T, TILE_M, axis=1)  # [3, Mp]
+    rm = _pad_to(ref_mask.astype(jnp.float32)[None, :], TILE_M, axis=1)
+    # feature lanes padded to the f32 tile width
+    fp = _pad_to(_pad_to(ref_feats.astype(jnp.float32), 128, axis=1), TILE_M, axis=0)
+    npad = q_t.shape[1]
+    mpad = r_t.shape[1]
+    fpad = fp.shape[1]
+
+    grid = (npad // TILE_Q,)
+    idx, d2, g = pl.pallas_call(
+        _corr_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mpad, fpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, fpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((npad, fpad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, r_t, rm, fp)
+    return idx[0, :n], d2[0, :n], g[:n, :f]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbor_pallas(
     query: jax.Array,  # [N, 3] f32
