@@ -275,7 +275,9 @@ class LoopConfig:
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
     global_solver: str = "SCHUR"  # SCHUR (exact block elimination) | PCG
-    schur_blocks: int = 16  # submap count for the block-Schur solver
+    schur_blocks: int = 32  # submap count for the block-Schur solver (the
+    # measured v5e sweet spot at keyframe_capacity=2048: 104 ms/solve vs
+    # 138 ms at 16 and 837 ms in round 1 — see BENCHMARKS.md)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,20 @@ from rivslam_tpu.factors import robust
 from rivslam_tpu.loop import global_graph as gg
 
 
+def _spd_solve(A, rhs):
+    """Cholesky solve for the SPD systems this solver produces (H_II' and
+    H_sep are PSD + positive diagonal by construction). jnp.linalg.solve
+    lowers to row-pivoted LU, which is serial and ~2.5x slower on the TPU's
+    MXU than the pivot-free Cholesky + two triangular solves."""
+    L = jnp.linalg.cholesky(A)
+    y = jax.lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+
+
 def _slot_of(node, B, S, num_loop_slots):
     """Global separator slot for a node that IS a separator by the boundary
     rule; -1 if not a boundary node (loop endpoints get their own slots)."""
@@ -185,7 +199,7 @@ def _schur_impl(g, num_blocks, gn_iters, huber_delta):
         g_I = gb * D
         g_S = gb * (1.0 - D)
 
-        X = jnp.linalg.solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
+        X = _spd_solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
         HII_inv_HIS = X[:, :, :-1]
         HII_inv_gI = X[:, :, -1]
         S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
@@ -196,25 +210,37 @@ def _schur_impl(g, num_blocks, gn_iters, huber_delta):
         sdim = (slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]
         sdim = sdim.reshape(S, 6 * B)  # slot dim per local dim
         Pdim = 6 * (P + 1)
-        H_sep = jnp.zeros((Pdim, Pdim), dtype=dtype)
-        H_sep = H_sep.at[sdim[:, :, None], sdim[:, None, :]].add(S_blk)
-        g_sep = jnp.zeros((Pdim,), dtype=dtype).at[sdim].add(g_blk)
+        # one-hot projection Q[s] in [6B, Pdim]: scatter-adding S_blk by sdim
+        # serializes on the millions of colliding dump-slot indices (every
+        # interior dim of every block collides at dim 6P) — XLA scatter-add
+        # was ~700 ms of the round-1 837 ms solve. The projection form
+        # Q^T S Q rides the MXU instead.
+        Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
+        H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
+        g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
 
-        # separator-only edges (cross-block odometry + loops) by slot
-        si = slot[ei]
-        sj = slot[ej]
-        se_w = sep_edge.astype(dtype)
-        si = jnp.where(sep_edge, si, P)
-        sj = jnp.where(sep_edge, sj, P)
+        # separator-only edges (cross-block odometry + loops). The candidate
+        # set is STATIC: the S-1 block-crossing chain edges k = B, 2B, ...
+        # plus the L loop edges — gather those few, scatter without the
+        # all-edges collision pile-up.
+        K_edges = K  # chain edges occupy [0, K) of the flat edge arrays
+        cross_idx = jnp.arange(1, S, dtype=jnp.int32) * B
+        loop_idx = K_edges + jnp.arange(L, dtype=jnp.int32)
+        cand = jnp.concatenate([cross_idx, loop_idx])  # [S-1+L]
+        se_w = sep_edge[cand].astype(dtype)
+        si = jnp.where(sep_edge[cand], slot[ei[cand]], P)
+        sj = jnp.where(sep_edge[cand], slot[ej[cand]], P)
+        cH_ii, cH_ij, cH_jj = H_ii[cand], H_ij[cand], H_jj[cand]
+        cg_i, cg_j = g_i[cand], g_j[cand]
         di = (si * 6)[:, None] + jnp.arange(6)[None, :]
         dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
-        H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(H_ii * se_w[:, None, None])
-        H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(H_ij * se_w[:, None, None])
+        H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(cH_ii * se_w[:, None, None])
+        H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(cH_ij * se_w[:, None, None])
         H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
-            jnp.swapaxes(H_ij, 1, 2) * se_w[:, None, None]
+            jnp.swapaxes(cH_ij, 1, 2) * se_w[:, None, None]
         )
-        H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(H_jj * se_w[:, None, None])
-        g_sep = g_sep.at[di].add(g_i * se_w[:, None]).at[dj].add(g_j * se_w[:, None])
+        H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(cH_jj * se_w[:, None, None])
+        g_sep = g_sep.at[di].add(cg_i * se_w[:, None]).at[dj].add(cg_j * se_w[:, None])
 
         # anchor on node 0 (slot 0 — node 0 is a boundary separator)
         anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
@@ -223,7 +249,7 @@ def _schur_impl(g, num_blocks, gn_iters, huber_delta):
 
         # inert dump slot + unused slots
         H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-        d_sep = jnp.linalg.solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
+        d_sep = _spd_solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
         d_sep = d_sep.at[6 * P :].set(0.0)  # dump slot contributes nothing
 
         # ---- back-substitution per block
@@ -286,14 +312,16 @@ def solve_pose_graph_schur_sharded(
         H_SS = Hb * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
         g_I = gb * D
         g_S = gb * (1.0 - D)
-        X = jnp.linalg.solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
+        X = _spd_solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
         HII_inv_HIS = X[:, :, :-1]
         HII_inv_gI = X[:, :, -1]
         S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
         g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
-        H_sep = jnp.zeros((Pdim, Pdim), dtype=dtype)
-        H_sep = H_sep.at[sdim[:, :, None], sdim[:, None, :]].add(S_blk)
-        g_sep = jnp.zeros((Pdim,), dtype=dtype).at[sdim].add(g_blk)
+        # one-hot projection instead of colliding scatter-add (see
+        # _schur_impl): each device projects its local blocks on the MXU
+        Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
+        H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
+        g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
         # combine submap contributions over the interconnect
         H_sep = jax.lax.psum(H_sep, axis)
         g_sep = jax.lax.psum(g_sep, axis)
@@ -391,23 +419,29 @@ def solve_pose_graph_schur_sharded(
             # ---- sharded elimination + psum-reduced separator system
             H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(Hb, gb, D, sdim)
 
-            si = jnp.where(sep_edge, slot[ei], Pslots)
-            sj = jnp.where(sep_edge, slot[ej], Pslots)
-            se_w = sep_edge.astype(dtype)
+            # static separator-edge candidates (see _schur_impl)
+            cross_idx = jnp.arange(1, S, dtype=jnp.int32) * B
+            loop_idx = K + jnp.arange(L, dtype=jnp.int32)
+            cand = jnp.concatenate([cross_idx, loop_idx])
+            se_w = sep_edge[cand].astype(dtype)
+            si = jnp.where(sep_edge[cand], slot[ei[cand]], Pslots)
+            sj = jnp.where(sep_edge[cand], slot[ej[cand]], Pslots)
+            cH_ii, cH_ij, cH_jj = H_ii[cand], H_ij[cand], H_jj[cand]
+            cg_i, cg_j = g_i[cand], g_j[cand]
             di = (si * 6)[:, None] + jnp.arange(6)[None, :]
             dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
-            H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(H_ii * se_w[:, None, None])
-            H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(H_ij * se_w[:, None, None])
+            H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(cH_ii * se_w[:, None, None])
+            H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(cH_ij * se_w[:, None, None])
             H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
-                jnp.swapaxes(H_ij, 1, 2) * se_w[:, None, None]
+                jnp.swapaxes(cH_ij, 1, 2) * se_w[:, None, None]
             )
-            H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(H_jj * se_w[:, None, None])
-            g_sep = g_sep.at[di].add(g_i * se_w[:, None]).at[dj].add(g_j * se_w[:, None])
+            H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(cH_jj * se_w[:, None, None])
+            g_sep = g_sep.at[di].add(cg_i * se_w[:, None]).at[dj].add(cg_j * se_w[:, None])
             anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
             H_sep = H_sep.at[:6, :6].add(g.anchor_info)
             g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
             H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-            d_sep = jnp.linalg.solve(H_sep, -g_sep[:, None])[:, 0]
+            d_sep = _spd_solve(H_sep, -g_sep[:, None])[:, 0]
             d_sep = d_sep.at[6 * Pslots :].set(0.0)
 
             d_local = back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
