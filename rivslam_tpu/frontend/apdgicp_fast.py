@@ -26,6 +26,13 @@ from rivslam_tpu.core.config import RegistrationConfig
 from rivslam_tpu.frontend import apdgicp
 
 
+def _bulk_precision(cfg: RegistrationConfig) -> jax.lax.Precision:
+    """Precision for the big [N,M]-shaped matmuls (see
+    RegistrationConfig.fast_matmul_precision). Pose algebra never goes
+    through this — chained products need the f32 6-pass form."""
+    return jax.lax.Precision[cfg.fast_matmul_precision.upper()]
+
+
 def estimate_covariances_fast(
     xyz: jax.Array, mask: jax.Array, cfg: RegistrationConfig
 ) -> apdgicp.PreparedCloud:
@@ -41,10 +48,11 @@ def estimate_covariances_fast(
     from rivslam_tpu.core.pointcloud import SENTINEL
 
     dtype = xyz.dtype
+    prec = _bulk_precision(cfg)
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     sent = jnp.where(mask[:, None], xyz, SENTINEL)
     n2 = jnp.sum(sent * sent, axis=1)
-    d2 = n2[:, None] + n2[None, :] - 2.0 * (sent @ sent.T)
+    d2 = n2[:, None] + n2[None, :] - 2.0 * jnp.matmul(sent, sent.T, precision=prec)
     k = cfg.k_correspondences
     vals, _ = jax.lax.approx_min_k(d2, k)
     kth = vals[:, -1]
@@ -53,7 +61,7 @@ def estimate_covariances_fast(
         [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z],
         axis=1,
     )  # [M, 10]
-    acc = W @ feats  # [N, 10] — one MXU pass
+    acc = jnp.matmul(W, feats, precision=prec)  # [N, 10] — one MXU pass
     cnt = jnp.maximum(acc[:, 0], 1.0)
     mx, my, mz = acc[:, 1] / cnt, acc[:, 2] / cnt, acc[:, 3] / cnt
     c00 = acc[:, 4] / cnt - mx * mx
@@ -180,6 +188,7 @@ def register_fast(
     """Drop-in replacement for apdgicp.register (single problem; vmap for
     batches)."""
     dtype = source.xyz.dtype
+    prec = _bulk_precision(cfg)
     T0 = guess.astype(dtype)
     N = source.xyz.shape[0]
 
@@ -222,7 +231,7 @@ def register_fast(
             w = corr.astype(dtype)
         else:
             # NN: cross term on MXU ([N,3]x[3,M]); norms via components
-            cross = p @ tgt_sent.T
+            cross = jnp.matmul(p, tgt_sent.T, precision=prec)
             d2 = (px * px + py * py + pz * pz)[:, None] + tn2[None, :] - 2.0 * cross
             idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
             best = jnp.min(d2, axis=1)
@@ -231,7 +240,7 @@ def register_fast(
 
             # gather target components via one-hot matmul (MXU)
             onehot = (m_idx[None, :] == idx[:, None]).astype(dtype)
-            gathered = onehot @ tgt_feats  # [N, 9]
+            gathered = jnp.matmul(onehot, tgt_feats, precision=prec)  # [N, 9]
         gx, gy, gz = gathered[:, 0], gathered[:, 1], gathered[:, 2]
         b00, b01, b02 = gathered[:, 3], gathered[:, 4], gathered[:, 5]
         b11, b12, b22 = gathered[:, 6], gathered[:, 7], gathered[:, 8]
