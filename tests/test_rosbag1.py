@@ -113,6 +113,10 @@ def write_bag(path, messages, compression=None):
         import bz2 as _b
 
         comp, name = _b.compress(chunk), b"bz2"
+    elif compression == "lz4":
+        from rivslam_tpu.io import lz4f
+
+        comp, name = lz4f.compress_frame(chunk), b"lz4"
     else:
         comp, name = chunk, b"none"
     with open(path, "wb") as f:
