@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dynamic-removal", action="store_true")
     ap.add_argument("--use-ego-vel", action="store_true",
                     help="enable the ego-velocity motion prior (enable_frontend_ego_vel)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture an xprof/TensorBoard device trace of the "
+                    "replay into DIR (jax.profiler; view with xprof or "
+                    "tensorboard --logdir DIR)")
     args = ap.parse_args(argv)
 
     if os.environ.get("RIVSLAM_FORCE_CPU"):
@@ -126,6 +130,14 @@ def main(argv=None) -> int:
         print(f"total sampled points: {total}")
         return
 
+    import contextlib
+
+    import jax
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
+    )
     if args.seq.endswith(".rivbin"):
         from rivslam_tpu.runtime import native
 
@@ -133,29 +145,33 @@ def main(argv=None) -> int:
         loader = native.PrefetchLoader(ns, capacity=args.capacity)
         from rivslam_tpu.core.pointcloud import RadarCloud
 
-        while True:
-            item = loader.next_aligned(args.imu_capacity)
-            if item is None:
-                break
-            idx, stamp, xyz, dop, inten, mask, dts, acc, gyr, m = item
-            cloud = RadarCloud(
-                xyz=jnp.asarray(xyz, eng.dtype),
-                doppler=jnp.asarray(dop, eng.dtype),
-                intensity=jnp.asarray(inten, eng.dtype),
-                mask=jnp.asarray(mask),
-            )
-            eng.process_frame(cloud, stamp, dts, acc, gyr, m)
-            if idx % 50 == 0:
-                print(f"frame {idx}/{ns.num_frames}", file=sys.stderr)
-        eng.finalize()
+        with profile_cm:
+            while True:
+                item = loader.next_aligned(args.imu_capacity)
+                if item is None:
+                    break
+                idx, stamp, xyz, dop, inten, mask, dts, acc, gyr, m = item
+                cloud = RadarCloud(
+                    xyz=jnp.asarray(xyz, eng.dtype),
+                    doppler=jnp.asarray(dop, eng.dtype),
+                    intensity=jnp.asarray(inten, eng.dtype),
+                    mask=jnp.asarray(mask),
+                )
+                eng.process_frame(cloud, stamp, dts, acc, gyr, m)
+                if idx % 50 == 0:
+                    print(f"frame {idx}/{ns.num_frames}", file=sys.stderr)
+            eng.finalize()
     else:
         seq = datasets.RadarSequence.load(args.seq)
-        datasets.replay(
-            eng, seq, capacity=args.capacity, imu_capacity=args.imu_capacity,
-            progress=lambda i, n: (
-                print(f"frame {i}/{n}", file=sys.stderr) if i % 50 == 0 else None
-            ),
-        )
+        with profile_cm:
+            datasets.replay(
+                eng, seq, capacity=args.capacity, imu_capacity=args.imu_capacity,
+                progress=lambda i, n: (
+                    print(f"frame {i}/{n}", file=sys.stderr) if i % 50 == 0 else None
+                ),
+            )
+    if args.profile:
+        print(f"xprof trace written to {args.profile}", file=sys.stderr)
 
     ts, poses = eng.trajectory()
     tum.save_tum(args.out, ts, poses)
