@@ -35,19 +35,29 @@ import jax as _jax
 # 5415 -> 3289 fps, still 22x the measured CPU baseline) and halves the
 # registration error to f64-CPU parity (0.07 -> 0.038 m median on the
 # radar-realistic course). Override with RIVSLAM_MATMUL_PRECISION
-# (e.g. "bfloat16" to restore the fast path for experiments).
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("RIVSLAM_MATMUL_PRECISION", "float32"),
-)
+# (e.g. "bfloat16" to restore the fast path for experiments). An embedding
+# program that already configured its own default precision is respected.
+if _os.environ.get("RIVSLAM_MATMUL_PRECISION"):
+    _jax.config.update(
+        "jax_default_matmul_precision", _os.environ["RIVSLAM_MATMUL_PRECISION"]
+    )
+elif _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "float32")
 
 # Persistent compilation cache for every entry point (CLI, eval harnesses,
 # bench) — first compiles of the fused frame step / batched loop verify are
 # tens of seconds through the axon relay; cached reloads are milliseconds.
-_cache_dir = _os.environ.get(
-    "RIVSLAM_JAX_CACHE",
-    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
-)
+_cache_dir = _os.environ.get("RIVSLAM_JAX_CACHE")
+if not _cache_dir:
+    _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _cache_dir = _os.path.join(_repo_root, ".jax_cache")
+    # pip-installed: never write into site-packages — use the user cache
+    if "site-packages" in _repo_root or "dist-packages" in _repo_root or not _os.access(
+        _repo_root, _os.W_OK
+    ):
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "rivslam_tpu", "jax_cache"
+        )
 _jax.config.update("jax_compilation_cache_dir", _cache_dir)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

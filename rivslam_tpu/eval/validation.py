@@ -157,6 +157,11 @@ def main(argv=None) -> None:
         "latency per engine variant; the study is compile-dominated)",
     )
     args = ap.parse_args(argv)
+    if args.f64:
+        # f64 math only exists on the host backend (TPUs have no f64 and
+        # x64-disabled JAX silently downcasts); force both together so the
+        # flag can never produce mislabeled f32 numbers
+        args.cpu = True
     if args.cpu:
         import jax
 

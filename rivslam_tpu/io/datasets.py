@@ -269,7 +269,9 @@ def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int =
         )
         t0 = prev_t if prev_t is not None else f["stamp"] - 0.1
         dts, acc, gyr, m = seq.imu_between(t0, f["stamp"], imu_capacity)
-        gps_utm, gps_cov = seq.gps_at(f["stamp"])
+        gps_utm, gps_cov = seq.gps_at(
+            f["stamp"], max_gap=engine.cfg.gps.max_association_dt
+        )
         out = engine.process_frame(
             cloud, f["stamp"], dts, acc, gyr, m,
             altitude=seq.baro_at(f["stamp"]),

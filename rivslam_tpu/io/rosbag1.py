@@ -334,7 +334,24 @@ def convert_bag(
             continue
         if topic == gps_topic or msg_type.endswith("NavSatFix"):
             m = parse_navsatfix(body)
+            # no-fix messages (NavSatStatus STATUS_NO_FIX = -1) and
+            # non-finite coordinates must never reach the graph: a NaN
+            # lat/lon would poison zero_utm and every rel_utm after it
+            if m["status"] < 0 or not all(
+                np.isfinite(v)
+                for v in (m["latitude"], m["longitude"], m["altitude"])
+            ):
+                continue
             c = m["position_covariance"]
+            if m["position_covariance_type"] == 0:
+                # COVARIANCE_TYPE_UNKNOWN: the all-zero matrix means
+                # "unknown", not "perfect" — keep the fix but mark the
+                # covariance NaN so downstream falls back to the
+                # configured GpsConfig.stddev_xy/_z prior strengths
+                gps_t.append(m["header"]["stamp"].to_sec())
+                gps_lla.append((m["latitude"], m["longitude"], m["altitude"]))
+                gps_cov.append((np.nan, np.nan, np.nan))
+                continue
             # fix-quality gate (gps_traj_align.cpp:158-159)
             if c[0] > gps_max_cov_xx or c[8] > gps_max_cov_zz:
                 continue

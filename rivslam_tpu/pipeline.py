@@ -32,12 +32,20 @@ def _se3_log_np(T: np.ndarray) -> np.ndarray:
     R = T[:3, :3]
     cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
     th = np.arccos(cos)
+    vee = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     if th < 1e-9:
-        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) * 0.5
+        w = 0.5 * vee
+    elif th > np.pi - 1e-4:
+        # sin(th) -> 0 kills the vee form; recover the axis from the
+        # symmetric part: R + R^T - (tr R - 1) I = 2 (1 - cos th) a a^T
+        S = R + R.T - (np.trace(R) - 1.0) * np.eye(3)
+        col = S[:, int(np.argmax(np.diag(S)))]
+        a = col / np.linalg.norm(col)
+        if a @ vee < 0.0:  # sign is free at exactly pi; match vee otherwise
+            a = -a
+        w = th * a
     else:
-        w = th / (2.0 * np.sin(th)) * np.array(
-            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
-        )
+        w = th / (2.0 * np.sin(th)) * vee
     W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
     t2 = w @ w
     if t2 < 1e-18:
@@ -526,7 +534,13 @@ class Engine:
             if st.zero_utm is None:
                 st.zero_utm = utm.copy()
             rel_utm = utm - st.zero_utm
-            if c.gps.use_fix_covariance and gps_cov is not None:
+            if (
+                c.gps.use_fix_covariance
+                and gps_cov is not None
+                # NaN covariance = COVARIANCE_TYPE_UNKNOWN sentinel from
+                # ingest: fall back to the configured prior stddevs
+                and bool(np.all(np.isfinite(np.asarray(gps_cov, np.float64))))
+            ):
                 info3 = 1.0 / np.maximum(np.asarray(gps_cov, np.float64), 1e-6)
             else:
                 info3 = 1.0 / np.asarray(
@@ -716,6 +730,10 @@ class Engine:
         kf_ts = np.asarray(st.kf_stamps, np.float64)
         out = np.empty_like(poses)
         seg = np.clip(np.searchsorted(kf_ts, ts, side="right") - 1, 0, len(kf_ts) - 1)
+        # one log per keyframe interval, not per frame
+        xis = [
+            _se3_log_np(np.linalg.inv(C[k]) @ C[k + 1]) for k in range(len(kf_ts) - 1)
+        ]
         for f in range(len(ts)):
             k = int(seg[f])
             if k >= len(kf_ts) - 1:
@@ -723,7 +741,6 @@ class Engine:
             else:
                 span = kf_ts[k + 1] - kf_ts[k]
                 s = 0.0 if span <= 0 else float(np.clip((ts[f] - kf_ts[k]) / span, 0.0, 1.0))
-                xi = _se3_log_np(np.linalg.inv(C[k]) @ C[k + 1])
-                corr = C[k] @ _se3_exp_np(s * xi)
+                corr = C[k] @ _se3_exp_np(s * xis[k])
             out[f] = corr @ poses[f]
         return ts, out

@@ -19,7 +19,7 @@ from rivslam_tpu.backend import map as map_mod
 from rivslam_tpu.core.config import (
     EngineConfig, GpsConfig, LoopConfig, PreprocessConfig, RegistrationConfig,
 )
-from rivslam_tpu.io import checkpoint, datasets, geo, rosbag1
+from rivslam_tpu.io import checkpoint, datasets, geo, rosbag1, synthetic
 
 from test_datasets import make_sequence
 from test_rosbag1 import _ros_header, make_messages, write_bag
@@ -72,15 +72,16 @@ def test_utm_zone_pinning():
 # ---------------------------------------------------------------------------
 
 
-def ser_navsatfix(stamp, lat, lon, alt, cov_diag=(0.5, 0.5, 1.0)):
+def ser_navsatfix(stamp, lat, lon, alt, cov_diag=(0.5, 0.5, 1.0), status=0,
+                  cov_type=2):
     b = _ros_header(stamp, "gps")
-    b += struct.pack("<b", 0)  # status.status (STATUS_FIX)
+    b += struct.pack("<b", status)  # status.status (0 = STATUS_FIX)
     b += struct.pack("<H", 1)  # status.service (GPS)
     b += struct.pack("<3d", lat, lon, alt)
     cov = np.zeros(9)
     cov[0], cov[4], cov[8] = cov_diag
     b += struct.pack("<9d", *cov)
-    b += struct.pack("<B", 2)  # covariance_type DIAGONAL_KNOWN
+    b += struct.pack("<B", cov_type)  # 2 = DIAGONAL_KNOWN, 0 = UNKNOWN
     return b
 
 
@@ -121,6 +122,67 @@ def test_convert_bag_with_gps(tmp_path, rng):
     utm, cov = seq2.gps_at(100.1)
     assert utm is not None and cov is not None
     assert seq2.gps_at(99.0) == (None, None)
+
+
+def test_convert_bag_gps_quality_gates(tmp_path, rng):
+    """No-fix, NaN-coordinate, and unknown-covariance NavSatFix handling:
+    the first two are dropped (a NaN lat/lon would poison zero_utm and
+    every rel_utm after it; all-zero 'unknown' covariance would read as a
+    maximal-strength prior), the third is kept with NaN covariance so the
+    engine falls back to GpsConfig.stddev_xy/_z."""
+    msgs = make_messages(rng)
+    lat0, lon0 = 1.3483, 103.6831
+    # STATUS_NO_FIX at startup (common for cold GPS drivers): dropped
+    msgs.append(("/ublox/fix", "sensor_msgs/NavSatFix", 100.0,
+                 ser_navsatfix(100.0, float("nan"), float("nan"), 0.0,
+                               (0.0, 0.0, 0.0), status=-1, cov_type=0)))
+    # fix with NaN coordinates but claiming STATUS_FIX: dropped
+    msgs.append(("/ublox/fix", "sensor_msgs/NavSatFix", 100.1,
+                 ser_navsatfix(100.1, float("nan"), lon0, 30.0)))
+    # valid fix with COVARIANCE_TYPE_UNKNOWN (all-zero matrix): kept,
+    # covariance marked NaN
+    msgs.append(("/ublox/fix", "sensor_msgs/NavSatFix", 100.2,
+                 ser_navsatfix(100.2, lat0, lon0, 30.0, (0.0, 0.0, 0.0),
+                               cov_type=0)))
+    # plain good fix
+    msgs.append(("/ublox/fix", "sensor_msgs/NavSatFix", 100.3,
+                 ser_navsatfix(100.3, lat0 + 1e-5, lon0, 31.0)))
+    path = str(tmp_path / "gate.bag")
+    write_bag(path, msgs)
+    seq = rosbag1.convert_bag(path, str(tmp_path / "gate.npz"))
+    assert len(seq.gps_stamps) == 2
+    np.testing.assert_allclose(seq.gps_stamps, [100.2, 100.3])
+    assert np.isfinite(seq.gps_utm).all()  # zero_utm anchored on a real fix
+    assert np.isnan(seq.gps_cov[0]).all()  # UNKNOWN -> stddev fallback
+    assert np.isfinite(seq.gps_cov[1]).all()
+
+
+def test_engine_nan_gps_cov_falls_back_to_stddev():
+    """A NaN-covariance fix (COVARIANCE_TYPE_UNKNOWN sentinel) must use the
+    configured stddev prior, not 1/max(nan, eps)."""
+    cfg = _gps_engine_cfg()
+    eng = pipeline.Engine(cfg)
+    rng_ = np.random.default_rng(5)
+    world = synthetic.make_world(rng_, n_points=4000)
+    for i in range(3):
+        T = np.eye(4)
+        T[:3, 3] = [0.4 * i, 0.0, 2.0]
+        cloud = synthetic.observe(world, T, rng_, capacity=256, noise=0.01)
+        eng.process_frame(
+            cloud, 100.0 + 0.1 * i,
+            np.zeros(4), np.zeros((4, 3)), np.zeros((4, 3)),
+            np.zeros(4, np.bool_),
+            gps_utm=np.array([0.4 * i, 0.0, 30.0]),
+            gps_cov=np.array([np.nan, np.nan, np.nan]),
+        )
+    g = eng.state.graph
+    k = int(np.asarray(g.gps_mask).sum())
+    assert k >= 1
+    info = np.asarray(g.gps_info)[np.asarray(g.gps_mask).astype(bool)]
+    assert np.isfinite(info).all()
+    np.testing.assert_allclose(
+        info[0], [1.0 / cfg.gps.stddev_xy**2] * 2 + [1.0 / cfg.gps.stddev_z**2]
+    )
 
 
 # ---------------------------------------------------------------------------

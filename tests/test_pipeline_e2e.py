@@ -158,3 +158,20 @@ def test_e2e_corrected_trajectory_propagates_loop(run):
     end_raw = np.linalg.norm(raw[-1, :3, 3] - gt_f[-1, :3, 3])
     end_corr = np.linalg.norm(corr[-1, :3, 3] - gt_f[-1, :3, 3])
     assert end_corr < 0.8 * end_raw, (end_corr, end_raw)
+
+
+def test_se3_log_near_pi_branch():
+    """_se3_log_np must stay finite and exact through theta -> pi (the
+    vee/sin form is singular there; a loop closure correcting ~180 deg of
+    heading drift between consecutive keyframes would hit it and silently
+    corrupt the exported trajectory)."""
+    axis = np.array([1.0, 2.0, -0.5])
+    axis /= np.linalg.norm(axis)
+    for th in (np.pi, np.pi - 1e-5, np.pi - 1e-3, 2.5, 1e-10, 0.0):
+        xi = np.concatenate([th * axis, [0.3, -0.2, 0.1]])
+        T = pipeline._se3_exp_np(xi)
+        xi2 = pipeline._se3_log_np(T)
+        assert np.isfinite(xi2).all(), (th, xi2)
+        np.testing.assert_allclose(
+            pipeline._se3_exp_np(xi2), T, atol=1e-9, err_msg=f"theta={th}"
+        )
