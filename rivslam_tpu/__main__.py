@@ -22,7 +22,8 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rivslam_tpu")
     ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
-    ap.add_argument("--out", required=True, help="output TUM trajectory file")
+    ap.add_argument("--out", default=None, help="output TUM trajectory file "
+                    "(required unless --to-rivbin/--histogram)")
     ap.add_argument("--map", default=None, help="optional output map PCD")
     ap.add_argument("--map-utm", action="store_true",
                     help="shift map points into absolute UTM using the GPS "
@@ -52,7 +53,15 @@ def main(argv=None) -> int:
                     help="capture an xprof/TensorBoard device trace of the "
                     "replay into DIR (jax.profiler; view with xprof or "
                     "tensorboard --logdir DIR)")
+    ap.add_argument("--to-rivbin", default=None, metavar="OUT",
+                    help="convert the input .npz sequence to the native "
+                    ".rivbin container and exit")
+    ap.add_argument("--compress-rivbin", action="store_true",
+                    help="with --to-rivbin: write the LZ4-chunked v2 "
+                    "container (decoded on the prefetch workers)")
     args = ap.parse_args(argv)
+    if not args.out and not (args.to_rivbin or args.histogram):
+        ap.error("--out is required unless --to-rivbin/--histogram")
 
     if os.environ.get("RIVSLAM_FORCE_CPU"):
         import jax
@@ -65,6 +74,15 @@ def main(argv=None) -> int:
     from rivslam_tpu.io import checkpoint, datasets, tum
 
     import dataclasses
+
+    if args.to_rivbin:
+        from rivslam_tpu.runtime import native
+
+        seq = datasets.RadarSequence.load(args.seq)
+        native.write_rivbin(args.to_rivbin, seq, compress=args.compress_rivbin)
+        v = "v2 (LZ4-chunked)" if args.compress_rivbin else "v1 (raw mmap)"
+        print(f"wrote {args.to_rivbin} [{v}], {seq.num_frames} frames")
+        return 0
 
     if args.preset:
         from rivslam_tpu import presets

@@ -262,6 +262,10 @@ class LoopConfig:
     distance_from_last_edge_thresh: float = 10.0
     max_baro_difference: float = 2.0
     max_yaw_difference_deg: float = 20.0
+    # candidate-ellipse drift model (loop_detector.hpp hardcodes 0.05/1.0;
+    # config here so high-drift platforms can widen the gate)
+    odom_drift_xy: float = 0.05
+    drift_scale_xy: float = 1.0
     sc_dist_thresh: float = 0.5
     sc_azimuth_range_deg: float = 56.5
     history_fitness_score: float = 6.0

@@ -25,7 +25,11 @@ from rivslam_tpu.core.config import LoopConfig, RegistrationConfig
 from rivslam_tpu.frontend import apdgicp
 from rivslam_tpu.loop import scancontext
 
-# reference loop_detector.hpp drift model constants (find_candidates)
+# reference loop_detector.hpp drift model constants (find_candidates).
+# These are the DEFAULTS for LoopConfig.odom_drift_xy / drift_scale_xy —
+# the reference hardcodes them; here they are config so high-drift
+# platforms (e.g. the garden cart course) can widen the candidate ellipse
+# instead of silently never attempting a loop.
 ODOM_DRIFT_XY = 0.05
 ODOM_DRIFT_Z = 0.05
 DRIFT_SCALE_XY = 1.0
@@ -72,9 +76,10 @@ def prefilter_candidates(
     yaw_ok = jnp.abs(jnp.degrees(yaw)) <= cfg.max_yaw_difference_deg
 
     x, y = rel_p[:, 0], rel_p[:, 1]
-    rad_lle = 3.0 + dist_btn_last * ODOM_DRIFT_XY * DRIFT_SCALE_XY
+    drift = cfg.odom_drift_xy * cfg.drift_scale_xy
+    rad_lle = 3.0 + dist_btn_last * drift
     aa_lle = (x / rad_lle) ** 2 + (y / rad_lle) ** 2
-    rad_xy = 10.0 + ODOM_DRIFT_XY * (new_accum - accum_dist) * DRIFT_SCALE_XY
+    rad_xy = 10.0 + drift * (new_accum - accum_dist)
     aa = (x / rad_xy) ** 2 + (y / rad_xy) ** 2
     ellipse_ok = (aa_lle <= 1.0) & (aa <= 1.0)
 

@@ -62,6 +62,22 @@ def ntu4dradlm(sequence: str = "cp") -> EngineConfig:
             cfg,
             odometry=dataclasses.replace(cfg.odometry, enable_scan_to_map=True),
         )
+    if sequence == "garden":
+        # cart platform, fastest + longest course: measured odometry drift
+        # runs 6-9% of travel (validation matrix seeds 21/22), so the
+        # reference's hardcoded 5%/m candidate ellipse + 20 deg yaw gate
+        # reject the genuine lap-closure candidates outright. Widen the
+        # drift model to match the platform and verify the top-3
+        # scan-context candidates (one vmapped dispatch, BENCHMARKS.md).
+        cfg = dataclasses.replace(
+            cfg,
+            loop=dataclasses.replace(
+                cfg.loop,
+                odom_drift_xy=0.15,
+                max_yaw_difference_deg=40.0,
+                verify_candidates=3,
+            ),
+        )
     return cfg
 
 

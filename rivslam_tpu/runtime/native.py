@@ -58,6 +58,15 @@ def get_lib() -> ctypes.CDLL:
     lib.rivbin_write.argtypes = [
         c.c_char_p, c.c_int64, f64p, i64p, f32p, f32p, f32p, c.c_int64, f64p, f32p, f32p,
     ]
+    lib.rivbin_write_lz4.restype = c.c_int
+    lib.rivbin_write_lz4.argtypes = lib.rivbin_write.argtypes
+    lib.rivbin_format_version.restype = c.c_int64
+    lib.rivbin_format_version.argtypes = [c.c_void_p]
+    u8buf = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.rivbin_lz4_compress.restype = c.c_int64
+    lib.rivbin_lz4_compress.argtypes = [u8buf, c.c_int64, u8buf, c.c_int64]
+    lib.rivbin_lz4_decompress.restype = c.c_int64
+    lib.rivbin_lz4_decompress.argtypes = [u8buf, c.c_int64, u8buf, c.c_int64]
     lib.rivbin_loader_create.restype = c.c_void_p
     lib.rivbin_loader_create.argtypes = [c.c_void_p, c.c_int64, c.c_int, c.c_int]
     lib.rivbin_loader_next.restype = c.c_int64
@@ -72,10 +81,37 @@ def get_lib() -> ctypes.CDLL:
     return lib
 
 
-def write_rivbin(path: str, seq) -> None:
-    """Serialize an io.datasets.RadarSequence to the native container."""
+def lz4_block_compress(data: bytes) -> bytes:
+    """Compress one LZ4 block with the native codec (testing/interop)."""
     lib = get_lib()
-    rc = lib.rivbin_write(
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(len(data) + len(data) // 255 + 16, dtype=np.uint8)
+    n = lib.rivbin_lz4_compress(src, len(src), dst, len(dst))
+    if n < 0:
+        raise ValueError("lz4 compress: destination too small")
+    return dst[:n].tobytes()
+
+
+def lz4_block_decompress(data: bytes, rsize: int) -> bytes:
+    """Decompress one LZ4 block with the native codec."""
+    lib = get_lib()
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(max(rsize, 1), dtype=np.uint8)
+    n = lib.rivbin_lz4_decompress(src, len(src), dst, rsize)
+    if n != rsize:
+        raise ValueError(f"lz4 decompress: got {n}, expected {rsize}")
+    return dst[:rsize].tobytes()
+
+
+def write_rivbin(path: str, seq, compress: bool = False) -> None:
+    """Serialize an io.datasets.RadarSequence to the native container.
+
+    ``compress=True`` writes the version-2 container with per-frame
+    LZ4-block-compressed target chunks (decoded on the prefetch workers,
+    the chunked-compression role of the reference's rosbags)."""
+    lib = get_lib()
+    writer = lib.rivbin_write_lz4 if compress else lib.rivbin_write
+    rc = writer(
         path.encode(),
         seq.num_frames,
         np.ascontiguousarray(seq.frame_stamps, dtype=np.float64),
@@ -115,6 +151,11 @@ class NativeSequence:
     @property
     def num_frames(self) -> int:
         return self._lib.rivbin_num_frames(self._h)
+
+    @property
+    def format_version(self) -> int:
+        """1 = raw mmap container, 2 = LZ4-chunked."""
+        return self._lib.rivbin_format_version(self._h)
 
     def frame_stamp(self, i: int) -> float:
         return self._lib.rivbin_frame_stamp(self._h, i)
