@@ -80,4 +80,25 @@ def export_session(engine, prefix: str) -> dict:
         pts = np.asarray(map_xyz)[np.asarray(valid)]
         save_ply(f"{prefix}_map.ply", pts)
         written["map"] = f"{prefix}_map.ply"
+
+    # scan-context descriptor sheet (loop_detector.cpp:302-312 publishes the
+    # SC matrix as an image topic; here: one PGM of all keyframe descriptors
+    # stacked vertically, rows = keyframes x rings, cols = sectors)
+    if st.scdb is not None:
+        n = int(np.asarray(st.scdb.count))
+        if n > 0:
+            sheet = np.asarray(st.scdb.desc)[:n]  # [n, R, S]
+            hi = float(sheet.max())
+            img = (sheet / hi * 255.0 if hi > 0 else sheet).astype(np.uint8)
+            img = img.reshape(n * sheet.shape[1], sheet.shape[2])
+            save_pgm(f"{prefix}_scancontext.pgm", img)
+            written["scancontext"] = f"{prefix}_scancontext.pgm"
     return written
+
+
+def save_pgm(path: str, img: np.ndarray) -> None:
+    """Binary PGM (P5) grayscale image writer."""
+    h, w = img.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(img, dtype=np.uint8).tobytes())

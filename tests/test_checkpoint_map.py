@@ -125,3 +125,14 @@ def test_viz_export(tmp_path, session):
     lines = open(written["trajectory"]).read().splitlines()
     hdr_end = lines.index("end_header")
     assert len(lines[hdr_end + 1].split()) == 6
+    # scan-context descriptor sheet (SC image topic parity): valid P5 PGM
+    # with rows = inserted descriptors x rings
+    if "scancontext" in written:
+        with open(written["scancontext"], "rb") as f:
+            assert f.readline().strip() == b"P5"
+            w, h = map(int, f.readline().split())
+            assert f.readline().strip() == b"255"
+            data = f.read()
+        assert len(data) == w * h
+        n = int(np.asarray(eng.state.scdb.count))
+        assert h == n * eng.cfg.loop.num_ring and w == eng.cfg.loop.num_sector
