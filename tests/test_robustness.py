@@ -175,3 +175,91 @@ def test_degenerate_collinear_scan():
     prep = apdgicp.prepare(cloud.xyz, cloud.mask, cfg)
     res = apdgicp.register_dispatch(prep, prep, jnp.eye(4, dtype=jnp.float64), cfg)
     assert np.isfinite(np.asarray(res.T)).all()
+
+
+def _mini_engine(gps=False):
+    from rivslam_tpu.core.config import GpsConfig, LoopConfig
+
+    return pipeline.Engine(EngineConfig(
+        preprocess=PreprocessConfig(
+            enable_dynamic_object_removal=False, outlier_removal_method="NONE",
+            enable_deskew=False, raw_capacity=256, filtered_capacity=256,
+        ),
+        registration=RegistrationConfig(method="FAST_GICP"),
+        loop=LoopConfig(enable=False, keyframe_capacity=64, loop_capacity=4),
+        gps=GpsConfig(enable=gps, solve_interval=2),
+    ))
+
+
+def _feed(eng, world, rng, i, imu=None, gps_utm=None, gps_cov=None,
+          nan_frame=False, step=0.4):
+    T = np.eye(4)
+    T[:3, 3] = [step * i, 0.0, 2.0]
+    cloud = synthetic.observe(world, T, rng, capacity=256, noise=0.01)
+    if nan_frame:
+        xyz = np.full((256, 3), np.nan)
+        cloud = type(cloud).from_numpy(xyz, 256)
+    if imu is None:
+        dts = np.full(8, 0.0125)
+        acc = np.tile([0.0, 0.0, 9.80511], (8, 1))
+        gyr = np.zeros((8, 3))
+        m = np.ones(8, np.bool_)
+    else:
+        dts, acc, gyr, m = imu
+    return eng.process_frame(cloud, 100.0 + 0.1 * i, dts, acc, gyr, m,
+                             gps_utm=gps_utm, gps_cov=gps_cov)
+
+
+def test_engine_survives_all_nan_frame():
+    """A frame whose every coordinate is NaN (sensor glitch) must be absorbed
+    by the NaN filter (preprocessing_nodelet.cpp NaN removal role): the
+    engine keeps producing finite poses on the frames after it."""
+    rng = np.random.default_rng(11)
+    world = synthetic.make_world(rng, n_points=5000)
+    eng = _mini_engine()
+    for i in range(5):
+        out = _feed(eng, world, rng, i, nan_frame=(i == 2))
+        assert np.isfinite(np.asarray(out["odom"])).all(), f"frame {i}"
+    ts, poses = eng.trajectory()
+    assert np.isfinite(poses).all()
+
+
+def test_engine_survives_imu_dropout():
+    """A frame with ZERO valid IMU samples (total dropout) must not NaN the
+    window backend's preintegration factor."""
+    rng = np.random.default_rng(12)
+    world = synthetic.make_world(rng, n_points=5000)
+    eng = _mini_engine()
+    dropout = (np.zeros(8), np.zeros((8, 3)), np.zeros((8, 3)),
+               np.zeros(8, np.bool_))
+    for i in range(5):
+        out = _feed(eng, world, rng, i, imu=dropout if i == 2 else None)
+        assert np.isfinite(np.asarray(out["odom"])).all(), f"frame {i}"
+        nav = out.get("nav_state")
+        if nav is not None:
+            assert np.isfinite(np.asarray(nav.p)).all()
+
+
+def test_engine_gps_outage_and_reacquire():
+    """GPS present, then a multi-frame outage, then reacquisition: zero_utm
+    must stay anchored at the FIRST fix and the graph priors stay finite."""
+    rng = np.random.default_rng(13)
+    world = synthetic.make_world(rng, n_points=5000)
+    eng = _mini_engine(gps=True)
+    for i in range(8):
+        # outage on frames 1-3; fixes everywhere else, so whatever the
+        # keyframe cadence, the first keyframe (frame 0) and every keyframe
+        # from frame 4 on carry a fix
+        has_fix = i not in (1, 2, 3)
+        _feed(
+            eng, world, rng, i, step=0.6,
+            gps_utm=np.array([0.6 * i, 0.0, 30.0]) if has_fix else None,
+            gps_cov=np.array([0.5, 0.5, 1.0]) if has_fix else None,
+        )
+    st = eng.state
+    np.testing.assert_allclose(st.zero_utm, [0.0, 0.0, 30.0])
+    g = st.graph
+    k = int(np.asarray(g.gps_mask).sum())
+    assert k >= 2  # first fix + reacquired fix both became priors
+    assert np.isfinite(np.asarray(g.gps_xyz)).all()
+    assert np.isfinite(np.asarray(g.gps_info)).all()
