@@ -92,15 +92,17 @@ def lz4_block_compress(data: bytes) -> bytes:
     return dst[:n].tobytes()
 
 
-def lz4_block_decompress(data: bytes, rsize: int) -> bytes:
-    """Decompress one LZ4 block with the native codec."""
+def lz4_block_decompress(data: bytes, max_size: int) -> bytes:
+    """Decompress one LZ4 block with the native codec. ``max_size`` is the
+    output capacity (the LZ4 frame format stores only a per-frame block-size
+    bound, not exact sizes); returns the actual decompressed bytes."""
     lib = get_lib()
     src = np.frombuffer(data, dtype=np.uint8)
-    dst = np.empty(max(rsize, 1), dtype=np.uint8)
-    n = lib.rivbin_lz4_decompress(src, len(src), dst, rsize)
-    if n != rsize:
-        raise ValueError(f"lz4 decompress: got {n}, expected {rsize}")
-    return dst[:rsize].tobytes()
+    dst = np.empty(max(max_size, 1), dtype=np.uint8)
+    n = lib.rivbin_lz4_decompress(src, len(src), dst, max_size)
+    if n == 0 and len(data) > 1:
+        raise ValueError("lz4 decompress: corrupt block or capacity exceeded")
+    return dst[:n].tobytes()
 
 
 def write_rivbin(path: str, seq, compress: bool = False) -> None:
