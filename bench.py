@@ -151,7 +151,9 @@ def main():
     try:
         xla_static_flops = float(compiled.cost_analysis()["flops"])
     except Exception:
-        xla_static_flops = float("nan")
+        # None (JSON null), NOT float('nan'): json.dumps would emit a bare
+        # NaN token, which is invalid JSON and breaks strict consumers
+        xla_static_flops = None
 
     conv, Ts, iters = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)  # warm
     jax.block_until_ready((conv, Ts, iters))
@@ -195,7 +197,10 @@ def main():
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu": round(achieved / PEAK_F32, 4),
         "mfu_bf16_peak": round(achieved / PEAK_BF16, 4),
-        "xla_static_tflops": round(xla_static_flops / dt / 1e12, 3),
+        "xla_static_tflops": (
+            round(xla_static_flops / dt / 1e12, 3)
+            if xla_static_flops is not None else None
+        ),
         "median_terr_m": round(med_terr, 3),
         "median_gt_motion_m": round(gt_mag, 3),
     }

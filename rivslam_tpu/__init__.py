@@ -47,8 +47,15 @@ elif _jax.config.jax_default_matmul_precision is None:
 # Persistent compilation cache for every entry point (CLI, eval harnesses,
 # bench) — first compiles of the fused frame step / batched loop verify are
 # tens of seconds through the axon relay; cached reloads are milliseconds.
-_cache_dir = _os.environ.get("RIVSLAM_JAX_CACHE")
-if not _cache_dir:
+# As with the precision knob above, an embedding program that already
+# configured its own compilation cache is respected — import must not
+# clobber a host application's cache setup.
+if _os.environ.get("RIVSLAM_JAX_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.environ["RIVSLAM_JAX_CACHE"]
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+elif _jax.config.jax_compilation_cache_dir is None:
     _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     _cache_dir = _os.path.join(_repo_root, ".jax_cache")
     # pip-installed: never write into site-packages — use the user cache
@@ -58,7 +65,7 @@ if not _cache_dir:
         _cache_dir = _os.path.join(
             _os.path.expanduser("~"), ".cache", "rivslam_tpu", "jax_cache"
         )
-_jax.config.update("jax_compilation_cache_dir", _cache_dir)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from rivslam_tpu.core import lie  # noqa: F401

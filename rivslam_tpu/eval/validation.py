@@ -188,7 +188,11 @@ def main(argv=None) -> None:
                     vals = [r[kk] for r in per_seed]
                     agg[kk] = float(np.mean(vals))
                     agg[kk + "_max"] = float(np.max(vals))
-                agg["loops_closed"] = int(np.sum([r["loops_closed"] for r in per_seed]))
+                # per-run mean (NOT a sum across seeds — the table reads as
+                # loops-per-run next to per-run-mean ATEs)
+                loop_counts = [r["loops_closed"] for r in per_seed]
+                agg["loops_closed"] = float(np.mean(loop_counts))
+                agg["loops_closed_max"] = int(np.max(loop_counts))
                 rows.append(agg)
     print()
     print("| course | matcher | loop | loops | odom-KF ATE | opt-KF ATE | full ATE |")

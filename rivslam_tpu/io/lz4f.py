@@ -30,16 +30,24 @@ _MAGIC_SKIPPABLE_MAX = 0x184D2A5F
 _BLOCK_MAX = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
 
 
+_NATIVE_BLOCK: object = False  # False = unresolved, None = build failed
+
+
 def _native_decompress_block():
     """The C++ block decoder from runtime/rivbin.cpp when buildable
-    (measured 13x the pure-python loop on 64 KiB chunks); None otherwise."""
-    try:
-        from rivslam_tpu.runtime import native
+    (measured 13x the pure-python loop on 64 KiB chunks); None otherwise.
+    The probe result is cached either way — a failing toolchain must not
+    re-spawn g++ for every chunk of a multi-GB bag."""
+    global _NATIVE_BLOCK
+    if _NATIVE_BLOCK is False:
+        try:
+            from rivslam_tpu.runtime import native
 
-        native.get_lib()
-        return native.lz4_block_decompress
-    except Exception:
-        return None
+            native.get_lib()
+            _NATIVE_BLOCK = native.lz4_block_decompress
+        except Exception:
+            _NATIVE_BLOCK = None
+    return _NATIVE_BLOCK
 
 
 def decompress_block(src: bytes, max_size: int) -> bytes:
@@ -59,6 +67,10 @@ def decompress_block(src: bytes, max_size: int) -> bytes:
                 if b != 255:
                     break
         if lit_len:
+            if i + lit_len > n:
+                # a bytes slice would silently clip and exit the loop with
+                # short output; a truncated block must be a hard error
+                raise ValueError("lz4: truncated block (literal run past end)")
             dst += src[i : i + lit_len]
             i += lit_len
         if i >= n:

@@ -71,8 +71,21 @@ def solve_pose_graph_schur(
     to NaN on real graphs — elimination chains condition numbers in a way
     the iterative PCG path tolerates but direct factorization does not.
     """
+    num_blocks = effective_blocks(g.R.shape[0], num_blocks)
     with jax.default_matmul_precision("float32"):
         return _schur_impl(g, num_blocks, gn_iters, huber_delta)
+
+
+def effective_blocks(capacity: int, requested: int) -> int:
+    """Largest divisor of ``capacity`` that is <= ``requested``.
+
+    The submap partition needs K % S == 0; a user capacity that the default
+    S doesn't divide (e.g. 48 with S=32) must degrade to a coarser valid
+    partition, not crash the first global solve mid-run."""
+    s = max(1, min(int(requested), int(capacity)))
+    while capacity % s:
+        s -= 1
+    return s
 
 
 def _schur_impl(g, num_blocks, gn_iters, huber_delta):
@@ -289,7 +302,12 @@ def solve_pose_graph_schur_sharded(
     L = g.loop_i.shape[0]
     S = num_blocks
     n_dev = mesh.shape[axis]
-    assert K % S == 0 and S % n_dev == 0
+    if K % S != 0 or S % n_dev != 0:
+        raise ValueError(
+            f"sharded block-Schur needs keyframe_capacity ({K}) divisible by "
+            f"num_blocks ({S}) and num_blocks divisible by the mesh axis "
+            f"({n_dev}); pick num_blocks with block_schur.effective_blocks"
+        )
     B = K // S
     dtype = g.p.dtype
     Pslots = 2 * S + 2 * L

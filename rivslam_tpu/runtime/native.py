@@ -62,6 +62,8 @@ def get_lib() -> ctypes.CDLL:
     lib.rivbin_write_lz4.argtypes = lib.rivbin_write.argtypes
     lib.rivbin_format_version.restype = c.c_int64
     lib.rivbin_format_version.argtypes = [c.c_void_p]
+    lib.rivbin_corrupt_frame.restype = c.c_int64
+    lib.rivbin_corrupt_frame.argtypes = [c.c_void_p]
     u8buf = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.rivbin_lz4_compress.restype = c.c_int64
     lib.rivbin_lz4_compress.argtypes = [u8buf, c.c_int64, u8buf, c.c_int64]
@@ -171,7 +173,16 @@ class NativeSequence:
         inten = np.empty(capacity, dtype=np.float32)
         mask = np.empty(capacity, dtype=np.uint8)
         self._lib.rivbin_read_frame(self._h, i, capacity, xyz, dop, inten, mask)
+        self._check_corrupt()
         return xyz, dop, inten, mask.astype(bool)
+
+    def _check_corrupt(self):
+        bad = self._lib.rivbin_corrupt_frame(self._h)
+        if bad >= 0:
+            raise IOError(
+                f"rivbin: LZ4 chunk of frame {bad} failed to decode "
+                "(corrupt or truncated container)"
+            )
 
     def imu_between(self, t0: float, t1: float, capacity: int):
         stamps = np.zeros(capacity, dtype=np.float64)
@@ -202,6 +213,7 @@ class PrefetchLoader:
         idx = self._lib.rivbin_loader_next(self._h, xyz, dop, inten, mask, stamp)
         if idx < 0:
             raise StopIteration
+        self._seq._check_corrupt()
         return int(idx), float(stamp[0]), xyz, dop, inten, mask.astype(bool)
 
     def next_aligned(self, imu_capacity: int):
@@ -228,6 +240,7 @@ class PrefetchLoader:
         )
         if idx < 0:
             return None
+        self._seq._check_corrupt()
         return (int(idx), float(stamp[0]), xyz, dop, inten,
                 mask.astype(bool), dts, acc, gyr, imask.astype(bool))
 

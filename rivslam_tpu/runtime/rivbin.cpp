@@ -193,6 +193,14 @@ struct Sequence {
   const double* imu_stamps = nullptr;
   const float* imu_acc = nullptr;
   const float* imu_gyr = nullptr;
+  // owned copies used when the mmap'd section is misaligned for its type
+  // (v2 IMU follows the byte-granular chunk region; v1 can land on a
+  // 4-mod-8 offset when num_targets is odd) — dereferencing a misaligned
+  // double* is UB (SIGBUS on strict-alignment targets, UBSan findings).
+  std::vector<double> imu_stamps_own;
+  std::vector<float> imu_acc_own, imu_gyr_own;
+  // index of the most recent frame whose chunk failed to decode, -1 if none
+  std::atomic<int64_t> corrupt_frame{-1};
 
   double stamp(int64_t i) const {
     return hdr.version == kVersion ? index[i].stamp : index2[i].stamp;
@@ -297,10 +305,15 @@ struct Loader {
     f.intensity.assign(capacity, 0.f);
     f.mask.assign(capacity, 0);
     const int64_t n = std::min<int64_t>(seq->count(i), capacity);
-    // v2: LZ4 decode runs here, on the prefetch worker, off the consumer
-    frame_targets(seq, i, n, f.xyz.data(), f.doppler.data(),
-                  f.intensity.data());
-    std::memset(f.mask.data(), 1, n);
+    // v2: LZ4 decode runs here, on the prefetch worker, off the consumer.
+    // On chunk corruption the mask stays all-zero (no fake points at the
+    // origin) and the sequence records the frame for the caller to raise.
+    if (frame_targets(seq, i, n, f.xyz.data(), f.doppler.data(),
+                      f.intensity.data())) {
+      std::memset(f.mask.data(), 1, n);
+    } else {
+      seq->corrupt_frame.store(i);
+    }
     return f;
   }
 };
@@ -355,11 +368,28 @@ void* rivbin_open(const char* path) {
       chunk_bytes += s->index2[i].csize;
     p += chunk_bytes;
   }
-  s->imu_stamps = reinterpret_cast<const double*>(p);
-  p += sizeof(double) * s->hdr.num_imu;
-  s->imu_acc = reinterpret_cast<const float*>(p);
-  p += sizeof(float) * 3 * s->hdr.num_imu;
-  s->imu_gyr = reinterpret_cast<const float*>(p);
+  const uint64_t m = s->hdr.num_imu;
+  if (reinterpret_cast<uintptr_t>(p) % alignof(double) == 0) {
+    s->imu_stamps = reinterpret_cast<const double*>(p);
+    s->imu_acc = reinterpret_cast<const float*>(p + sizeof(double) * m);
+    s->imu_gyr = reinterpret_cast<const float*>(p + sizeof(double) * m +
+                                                sizeof(float) * 3 * m);
+  } else {
+    // misaligned IMU section: copy into owned aligned storage (memcpy is
+    // alignment-safe); the IMU stream is small next to the target data
+    s->imu_stamps_own.resize(m);
+    s->imu_acc_own.resize(3 * m);
+    s->imu_gyr_own.resize(3 * m);
+    std::memcpy(s->imu_stamps_own.data(), p, sizeof(double) * m);
+    std::memcpy(s->imu_acc_own.data(), p + sizeof(double) * m,
+                sizeof(float) * 3 * m);
+    std::memcpy(s->imu_gyr_own.data(),
+                p + sizeof(double) * m + sizeof(float) * 3 * m,
+                sizeof(float) * 3 * m);
+    s->imu_stamps = s->imu_stamps_own.data();
+    s->imu_acc = s->imu_acc_own.data();
+    s->imu_gyr = s->imu_gyr_own.data();
+  }
   return s;
 }
 
@@ -396,8 +426,17 @@ void rivbin_read_frame(void* handle, int64_t i, int64_t capacity, float* xyz,
   std::memset(doppler, 0, capacity * sizeof(float));
   std::memset(intensity, 0, capacity * sizeof(float));
   std::memset(mask, 0, capacity);
-  frame_targets(s, i, n, xyz, doppler, intensity);
-  std::memset(mask, 1, n);
+  if (frame_targets(s, i, n, xyz, doppler, intensity))
+    std::memset(mask, 1, n);
+  else
+    s->corrupt_frame.store(i);
+}
+
+// index of the most recent frame whose v2 chunk failed LZ4 decode, or -1.
+// Readers leave a corrupt frame fully masked out; callers poll this to
+// turn the silent-skip into a hard error.
+int64_t rivbin_corrupt_frame(void* handle) {
+  return static_cast<Sequence*>(handle)->corrupt_frame.load();
 }
 
 // masked IMU window (t0, t1]; returns number of samples written

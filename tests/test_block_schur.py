@@ -91,6 +91,18 @@ def test_reaches_exact_optimum(num_blocks):
     )
 
 
+def test_indivisible_capacity_degrades_gracefully():
+    """A capacity the default submap count doesn't divide (48 % 32 != 0) must
+    solve with the largest valid partition, not assert mid-run."""
+    assert block_schur.effective_blocks(48, 32) == 24
+    assert block_schur.effective_blocks(2048, 32) == 32
+    assert block_schur.effective_blocks(7, 32) == 7
+    g, gt, est, n = drifted_graph(K=48, n=40)
+    g_bs, _ = block_schur.solve_pose_graph_schur(g, num_blocks=32, gn_iters=8)
+    gn_bs, _ = _grad_norm(g_bs)
+    assert gn_bs < 1e-8, gn_bs
+
+
 def test_corrects_drift():
     g, gt, est, n = drifted_graph()
     g_bs, _ = block_schur.solve_pose_graph_schur(g, num_blocks=8, gn_iters=8)

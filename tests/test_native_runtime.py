@@ -172,6 +172,78 @@ def test_rivbin_v2_matches_v1(tmp_path):
     l1.close(); l2.close(); s1.close(); s2.close()
 
 
+def test_rivbin_v2_corrupt_chunk_raises(tmp_path):
+    """A corrupt LZ4 chunk must surface as an error, not as a silently
+    zero-masked (or worse, all-origin) frame."""
+    rng = np.random.default_rng(5)
+    frames = [dict(
+        stamp=0.1 * i,
+        xyz=np.round(rng.normal(size=(60, 3)) * 8, 1),  # quantized => compressible
+        doppler=np.round(rng.normal(size=60), 1),
+        intensity=np.round(rng.uniform(5, 30, size=60)),
+    ) for i in range(6)]
+    imu_t = np.arange(0.0, 0.6, 0.01)
+    seq = datasets.RadarSequence.from_frames(
+        frames, imu_t, np.zeros((60, 3)), np.zeros((60, 3))
+    )
+    path = str(tmp_path / "v2.rivbin")
+    native.write_rivbin(path, seq, compress=True)
+    # v2 layout: 32-byte header | (stamp f64, count u64, chunk_off u64,
+    # csize u64) * n | chunks | imu.  Overwrite frame 3's chunk with 0xFF
+    # (token lit_len=15 + 0xFF extensions => literal run far past rsize).
+    idx_dt = np.dtype([("stamp", "<f8"), ("count", "<u8"),
+                       ("chunk_off", "<u8"), ("csize", "<u8")])
+    with open(path, "r+b") as f:
+        raw = f.read(32 + idx_dt.itemsize * seq.num_frames)
+        index = np.frombuffer(raw[32:], dtype=idx_dt)
+        assert int(index[3]["csize"]) < int(index[3]["count"]) * 20, \
+            "chunk must actually be compressed for the decode path to run"
+        chunk_base = 32 + idx_dt.itemsize * seq.num_frames
+        off = chunk_base + int(index[3]["chunk_off"])
+        f.seek(off)
+        f.write(b"\xff" * int(index[3]["csize"]))
+    ns = native.NativeSequence(path)
+    ns.read_frame(1, 128)  # untouched frame still reads fine
+    with pytest.raises(IOError, match="frame 3"):
+        ns.read_frame(3, 128)
+    ns.close()
+    # the prefetch loader path must also surface it
+    ns = native.NativeSequence(path)
+    loader = native.PrefetchLoader(ns, capacity=128, threads=2)
+    with pytest.raises(IOError, match="failed to decode"):
+        for _ in loader:
+            pass
+    loader.close()
+    ns.close()
+
+
+def test_rivbin_odd_targets_imu_aligned(tmp_path):
+    """v1 with an odd total target count puts the IMU stamp section at a
+    4-mod-8 file offset; the reader must still return exact doubles (the
+    misaligned section is copied into owned aligned storage)."""
+    rng = np.random.default_rng(7)
+    frames = []
+    for i, n in enumerate([33, 40, 28]):  # total 101 targets (odd)
+        frames.append(dict(
+            stamp=0.1 * i, xyz=rng.normal(size=(n, 3)),
+            doppler=rng.normal(size=n), intensity=rng.uniform(5, 30, size=n),
+        ))
+    imu_t = np.arange(0.0, 0.3, 0.01) + 1e-3 * rng.uniform(size=30)
+    seq = datasets.RadarSequence.from_frames(
+        frames, imu_t, rng.normal(size=(30, 3)), rng.normal(size=(30, 3))
+    )
+    assert seq.offsets[-1] % 2 == 1
+    path = str(tmp_path / "odd.rivbin")
+    native.write_rivbin(path, seq)
+    ns = native.NativeSequence(path)
+    k, stamps, acc, gyr = ns.imu_between(-1.0, 1.0, 64)
+    assert k == 30
+    np.testing.assert_array_equal(stamps[:k], seq.imu_stamps)
+    np.testing.assert_allclose(acc[:k], seq.imu_acc, rtol=1e-6)
+    np.testing.assert_allclose(gyr[:k], seq.imu_gyr, rtol=1e-6)
+    ns.close()
+
+
 def test_rivbin_v2_compresses_realistic_frames(tmp_path):
     """Radar-like frames (clustered geometry, quantized intensity) must
     actually shrink on disk."""
