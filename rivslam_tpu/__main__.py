@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     ap.add_argument("--to-rivbin", default=None, metavar="OUT",
                     help="convert the input .npz sequence to the native "
                     ".rivbin container and exit")
+    ap.add_argument("--device-replay", action="store_true",
+                    help="run the whole sequence as ONE on-device lax.scan "
+                    "(preprocess+odometry+window backend; no loop closure) — "
+                    "the sequential real-time-factor protocol")
     ap.add_argument("--compress-rivbin", action="store_true",
                     help="with --to-rivbin: write the LZ4-chunked v2 "
                     "container (decoded on the prefetch workers)")
@@ -156,6 +160,71 @@ def main(argv=None) -> int:
         jax.profiler.trace(args.profile) if args.profile
         else contextlib.nullcontext()
     )
+    if args.device_replay:
+        # whole-sequence device-resident scan: preprocess -> odometry ->
+        # window backend for EVERY frame in ONE dispatch (no loop closure;
+        # see Engine.replay_sequence). The sequential real-time-factor
+        # protocol — per-frame host dispatch measures the link, not the SLAM.
+        import time as _time
+
+        if args.seq.endswith(".rivbin"):
+            from rivslam_tpu.runtime import native
+
+            ns = native.NativeSequence(args.seq)
+            F = ns.num_frames
+            stacked = dict(
+                xyz=np.zeros((F, args.capacity, 3), np.float32),
+                doppler=np.zeros((F, args.capacity), np.float32),
+                intensity=np.zeros((F, args.capacity), np.float32),
+                mask=np.zeros((F, args.capacity), bool),
+                stamps=np.zeros(F, np.float64),
+                imu_dts=np.zeros((F, args.imu_capacity), np.float64),
+                imu_acc=np.zeros((F, args.imu_capacity, 3), np.float32),
+                imu_gyr=np.zeros((F, args.imu_capacity, 3), np.float32),
+                imu_mask=np.zeros((F, args.imu_capacity), bool),
+            )
+            prev_t = None
+            for i in range(F):
+                xyz, dop, inten, mask = ns.read_frame(i, args.capacity)
+                t = ns.frame_stamp(i)
+                stacked["xyz"][i], stacked["doppler"][i] = xyz, dop
+                stacked["intensity"][i], stacked["mask"][i] = inten, mask
+                stacked["stamps"][i] = t
+                t0 = prev_t if prev_t is not None else t - 0.1
+                k, st_, ac_, gy_ = ns.imu_between(t0, t, args.imu_capacity)
+                if k:
+                    dts = np.diff(np.concatenate([[t0], st_[:k]])).clip(1e-4, 0.05)
+                    stacked["imu_dts"][i, :k] = dts
+                    stacked["imu_acc"][i, :k] = ac_[:k]
+                    stacked["imu_gyr"][i, :k] = gy_[:k]
+                    stacked["imu_mask"][i, :k] = True
+                prev_t = t
+        else:
+            seq = datasets.RadarSequence.load(args.seq)
+            stacked = datasets.stack_sequence(
+                seq, capacity=args.capacity, imu_capacity=args.imu_capacity
+            )
+        with profile_cm:
+            rep = eng.replay_sequence(stacked)  # compile + run
+            t0 = _time.perf_counter()
+            rep = eng.replay_sequence(stacked)
+            dt = _time.perf_counter() - t0
+        F = len(stacked["stamps"])
+        print(f"device replay: {F} frames in {dt:.3f} s "
+              f"({F/dt:.1f} frames/s, {1e3*dt/F:.2f} ms/frame)", file=sys.stderr)
+        for t, pose in zip(stacked["stamps"], rep["pose"]):
+            eng.state.trajectory.append((float(t), np.asarray(pose)))
+        for flag in ("map", "ckpt", "viz"):
+            if getattr(args, flag):
+                print(f"--{flag} needs keyframe state; not available under "
+                      "--device-replay", file=sys.stderr)
+        ts, poses = eng.trajectory()
+        tum.save_tum(args.out, ts, poses)
+        print(f"wrote {len(ts)} poses to {args.out}")
+        if args.eval_gt:
+            _eval_gt(args, ts, poses)
+        return 0
+
     if args.seq.endswith(".rivbin"):
         from rivslam_tpu.runtime import native
 
@@ -224,21 +293,24 @@ def main(argv=None) -> int:
         print("viz:", ", ".join(written.values()))
 
     if args.eval_gt:
-        from rivslam_tpu.eval import ate as ate_mod
-
-        gt_ts, gt_poses = tum.load_tum(args.eval_gt)
-        # associate by stamp
-        from rivslam_tpu.tools import associate_by_stamp
-
-        pairs = associate_by_stamp(ts, gt_ts, max_dt=0.05)
-        if len(pairs) >= 3:
-            est_p = np.stack([poses[i][:3, 3] for i, _ in pairs])
-            gt_p = np.stack([gt_poses[j][:3, 3] for _, j in pairs])
-            stats = ate_mod.ate(est_p, gt_p)
-            print("ATE:", stats)
+        _eval_gt(args, ts, poses)
 
     print(eng.timers.report())
     return 0
+
+
+def _eval_gt(args, ts, poses) -> None:
+    from rivslam_tpu.eval import ate as ate_mod
+    from rivslam_tpu.io import tum
+    from rivslam_tpu.tools import associate_by_stamp
+
+    gt_ts, gt_poses = tum.load_tum(args.eval_gt)
+    pairs = associate_by_stamp(ts, gt_ts, max_dt=0.05)
+    if len(pairs) >= 3:
+        est_p = np.stack([poses[i][:3, 3] for i, _ in pairs])
+        gt_p = np.stack([gt_poses[j][:3, 3] for _, j in pairs])
+        stats = ate_mod.ate(est_p, gt_p)
+        print("ATE:", stats)
 
 
 if __name__ == "__main__":

@@ -257,6 +257,40 @@ def convert_rosbag(
 # ---------------------------------------------------------------------------
 
 
+def stack_sequence(seq: RadarSequence, capacity: int = 1024,
+                   imu_capacity: int = 64) -> dict:
+    """Stack a whole sequence into fixed-shape [F, ...] arrays — the input
+    format of `Engine.replay_sequence` (device-resident whole-sequence scan).
+    Per-frame padding and the IMU window/dt-clamp match `replay` exactly."""
+    F = seq.num_frames
+    xyz = np.zeros((F, capacity, 3), np.float32)
+    dop = np.zeros((F, capacity), np.float32)
+    inten = np.zeros((F, capacity), np.float32)
+    mask = np.zeros((F, capacity), bool)
+    stamps = np.zeros(F, np.float64)
+    dts = np.zeros((F, imu_capacity), np.float64)
+    acc = np.zeros((F, imu_capacity, 3), np.float32)
+    gyr = np.zeros((F, imu_capacity, 3), np.float32)
+    imask = np.zeros((F, imu_capacity), bool)
+    prev_t = None
+    for i in range(F):
+        f = seq.frame(i)
+        n = min(len(f["xyz"]), capacity)
+        xyz[i, :n] = f["xyz"][:n]
+        dop[i, :n] = f["doppler"][:n]
+        inten[i, :n] = f["intensity"][:n]
+        mask[i, :n] = True
+        stamps[i] = f["stamp"]
+        t0 = prev_t if prev_t is not None else f["stamp"] - 0.1
+        dts[i], acc[i], gyr[i], imask[i] = seq.imu_between(
+            t0, f["stamp"], imu_capacity
+        )
+        prev_t = f["stamp"]
+    return dict(xyz=xyz, doppler=dop, intensity=inten, mask=mask,
+                stamps=stamps, imu_dts=dts, imu_acc=acc, imu_gyr=gyr,
+                imu_mask=imask)
+
+
 def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int = 64, progress=None):
     """Deterministic offline replay of a sequence through an Engine."""
     outputs = []
