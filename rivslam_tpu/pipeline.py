@@ -480,7 +480,7 @@ class Engine:
                     )
                     return (odo, bk, prev_floor), (
                         oout.odom, oout.is_keyframe, oout.reg.converged,
-                        bout.pose, bout.chi2, ego.v,
+                        bout.pose, bout.chi2, ego.v, bout.iterations,
                     )
 
                 rest = jax.tree.map(lambda a: a[1:], clouds)
@@ -489,7 +489,7 @@ class Engine:
                     (rest, ang_vel[1:], stamps[1:], imu_dts[1:], imu_acc[1:],
                      imu_gyr[1:], imu_mask[1:], keys[1:]),
                 )
-                odom, is_kf, conv, pose, chi2, ego_v = ys
+                odom, is_kf, conv, pose, chi2, ego_v, solver_iters = ys
                 one = lambda x0, x: jnp.concatenate([x0[None], x])
                 return dict(
                     odom=one(jnp.eye(4, dtype=dt_), odom),
@@ -498,6 +498,7 @@ class Engine:
                     converged=one(jnp.asarray(True), conv),
                     chi2=one(bout0.chi2, chi2),
                     ego_vel=one(ego0.v, ego_v),
+                    solver_iterations=one(bout0.iterations, solver_iters),
                 )
 
             self._replay_scan = jax.jit(_replay)

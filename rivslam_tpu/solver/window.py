@@ -266,8 +266,47 @@ def solve_window(
             inner_cond, inner_body, (x, lam, jnp.asarray(2.0, dtype), 0, jnp.asarray(False), jnp.asarray(False))
         )
         y_new = chi2_of(x_i, kw)
-        converged = success & (jnp.abs(y0 - y_new) < 1e-6 * jnp.maximum(y0, 1.0))
+        converged = success & (jnp.abs(y0 - y_new) < REL_TOL * jnp.maximum(y0, 1.0))
         return (x_i, lam_i, it + 1, converged | (~success))
+
+    # convergence: relative chi2 gain below _REL_TOL, or an update so small
+    # it cannot move the f32 state (max |d| below _STEP_TOL — poses live at
+    # ~1-100 m scale, so 1e-6 is below f32 resolution of the state itself).
+    # 1e-6 relative chi2 alone is too strict in f32: IRLS reweighting jitters
+    # chi2 above it for dozens of no-op iterations (measured live windows:
+    # LM 20-45 iters/frame, GN pegged at the 64 cap, with poses identical to
+    # a tight 8-iteration cap).
+    REL_TOL = 1e-5 if dtype == jnp.float32 else 1e-9
+    STEP_TOL = 1e-6
+
+    if cfg.optimizer == "GN":
+        # Gauss-Newton: one undamped step per linearization, no inner lambda
+        # search — ~3x fewer sequential device steps per window solve. A
+        # tiny Tikhonov floor keeps rank-deficient windows (all-masked
+        # frames at startup) solvable; the step is rejected if it increases
+        # chi2 (undamped GN can overshoot on a cold window).
+        def gn_body(carry):
+            x, _lam, it, done = carry
+            H, g, y0, kw = linearize(x)
+            eps = 1e-8 * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H))), 1.0)
+            if use_schur:
+                d = _schur_solve(H, g, eps, W, dtype)
+            else:
+                d = jnp.linalg.solve(H + eps * jnp.eye(dim, dtype=dtype), -g)
+            x_new = retract(x, d.reshape(W, 15))
+            y1 = chi2_of(x_new, kw)
+            accept = y1 < y0
+            x_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), x_new, x)
+            converged = (~accept) | (
+                jnp.abs(y0 - y1) < REL_TOL * jnp.maximum(y0, 1.0)
+            ) | (jnp.max(jnp.abs(d)) < STEP_TOL)
+            return (x_next, _lam, it + 1, converged)
+
+        x_fin, _, iters, _ = jax.lax.while_loop(
+            cond, gn_body,
+            (x0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        )
+        return x_fin, chi2_of(x_fin), iters
 
     x_fin, lam, iters, _ = jax.lax.while_loop(
         cond, body, (x0, jnp.asarray(-1.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False))

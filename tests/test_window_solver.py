@@ -185,3 +185,24 @@ def test_schur_solve_matches_dense():
     np.testing.assert_allclose(np.asarray(x_schur.p), np.asarray(x_dense.p), atol=1e-8)
     np.testing.assert_allclose(np.asarray(x_schur.v), np.asarray(x_dense.v), atol=1e-8)
     np.testing.assert_allclose(float(chi2_s), float(chi2_d), rtol=1e-8)
+
+
+def test_gn_optimizer_matches_lm():
+    """BackendConfig.optimizer='GN' (no inner lambda search) must land on
+    the same optimum as LM on a warm, healthy window — the deployment mode
+    trade documented in BENCHMARKS.md 'Sequential odometry'."""
+    import dataclasses as _dc
+
+    x0, f, truth = build_problem(noise_scale=1.0)
+    cfg_gn = _dc.replace(CFG, optimizer="GN")
+    x_lm, chi2_lm, _ = win.solve_window(x0, f, CFG, BIAS_INFO)
+    x_gn, chi2_gn, iters_gn = win.solve_window(x0, f, cfg_gn, BIAS_INFO)
+    np.testing.assert_allclose(float(chi2_gn), float(chi2_lm), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(x_gn.p), np.asarray(x_lm.p), atol=1e-3
+    )
+    err_gn = np.linalg.norm(np.asarray(x_gn.p) - np.asarray(truth.p), axis=1).mean()
+    assert err_gn < 0.03
+    # GN with schur elimination agrees too
+    x_gs, chi2_gs, _ = win.solve_window(x0, f, cfg_gn, BIAS_INFO, use_schur=True)
+    np.testing.assert_allclose(float(chi2_gs), float(chi2_gn), rtol=1e-6)
