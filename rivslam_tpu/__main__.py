@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if not args.out and not (args.to_rivbin or args.histogram):
         ap.error("--out is required unless --to-rivbin/--histogram")
+    if args.device_replay and args.resume:
+        ap.error("--device-replay re-runs the sequence from frame 0 and "
+                 "cannot continue a --resume'd session")
 
     if os.environ.get("RIVSLAM_FORCE_CPU"):
         import jax
@@ -171,47 +174,23 @@ def main(argv=None) -> int:
             from rivslam_tpu.runtime import native
 
             ns = native.NativeSequence(args.seq)
-            F = ns.num_frames
-            stacked = dict(
-                xyz=np.zeros((F, args.capacity, 3), np.float32),
-                doppler=np.zeros((F, args.capacity), np.float32),
-                intensity=np.zeros((F, args.capacity), np.float32),
-                mask=np.zeros((F, args.capacity), bool),
-                stamps=np.zeros(F, np.float64),
-                imu_dts=np.zeros((F, args.imu_capacity), np.float64),
-                imu_acc=np.zeros((F, args.imu_capacity, 3), np.float32),
-                imu_gyr=np.zeros((F, args.imu_capacity, 3), np.float32),
-                imu_mask=np.zeros((F, args.imu_capacity), bool),
+            stacked = datasets.stack_native_sequence(
+                ns, capacity=args.capacity, imu_capacity=args.imu_capacity
             )
-            prev_t = None
-            for i in range(F):
-                xyz, dop, inten, mask = ns.read_frame(i, args.capacity)
-                t = ns.frame_stamp(i)
-                stacked["xyz"][i], stacked["doppler"][i] = xyz, dop
-                stacked["intensity"][i], stacked["mask"][i] = inten, mask
-                stacked["stamps"][i] = t
-                t0 = prev_t if prev_t is not None else t - 0.1
-                k, st_, ac_, gy_ = ns.imu_between(t0, t, args.imu_capacity)
-                if k:
-                    dts = np.diff(np.concatenate([[t0], st_[:k]])).clip(1e-4, 0.05)
-                    stacked["imu_dts"][i, :k] = dts
-                    stacked["imu_acc"][i, :k] = ac_[:k]
-                    stacked["imu_gyr"][i, :k] = gy_[:k]
-                    stacked["imu_mask"][i, :k] = True
-                prev_t = t
         else:
             seq = datasets.RadarSequence.load(args.seq)
             stacked = datasets.stack_sequence(
                 seq, capacity=args.capacity, imu_capacity=args.imu_capacity
             )
         with profile_cm:
-            rep = eng.replay_sequence(stacked)  # compile + run
             t0 = _time.perf_counter()
             rep = eng.replay_sequence(stacked)
             dt = _time.perf_counter() - t0
         F = len(stacked["stamps"])
         print(f"device replay: {F} frames in {dt:.3f} s "
-              f"({F/dt:.1f} frames/s, {1e3*dt/F:.2f} ms/frame)", file=sys.stderr)
+              f"({F/dt:.1f} frames/s, {1e3*dt/F:.2f} ms/frame; first "
+              "dispatch includes JIT compile — re-run for steady-state "
+              "timing)", file=sys.stderr)
         for t, pose in zip(stacked["stamps"], rep["pose"]):
             eng.state.trajectory.append((float(t), np.asarray(pose)))
         for flag in ("map", "ckpt", "viz"):

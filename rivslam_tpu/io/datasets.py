@@ -269,8 +269,11 @@ def stack_sequence(seq: RadarSequence, capacity: int = 1024,
     mask = np.zeros((F, capacity), bool)
     stamps = np.zeros(F, np.float64)
     dts = np.zeros((F, imu_capacity), np.float64)
-    acc = np.zeros((F, imu_capacity, 3), np.float32)
-    gyr = np.zeros((F, imu_capacity, 3), np.float32)
+    # f64: the engine applies IMU extrinsics BEFORE the working-dtype cast
+    # (pipeline.process_frame); stacking must not round first or
+    # replay_sequence loses bit-parity with the host driver
+    acc = np.zeros((F, imu_capacity, 3), np.float64)
+    gyr = np.zeros((F, imu_capacity, 3), np.float64)
     imask = np.zeros((F, imu_capacity), bool)
     prev_t = None
     for i in range(F):
@@ -289,6 +292,43 @@ def stack_sequence(seq: RadarSequence, capacity: int = 1024,
     return dict(xyz=xyz, doppler=dop, intensity=inten, mask=mask,
                 stamps=stamps, imu_dts=dts, imu_acc=acc, imu_gyr=gyr,
                 imu_mask=imask)
+
+
+def stack_native_sequence(ns, capacity: int = 1024,
+                          imu_capacity: int = 64) -> dict:
+    """`stack_sequence` for a runtime.native.NativeSequence (.rivbin).
+    Same padding, (t0, t] IMU window, t-0.1 first-frame convention, and
+    [1e-4, 0.05] dt clamp as the Python path."""
+    F = ns.num_frames
+    out = dict(
+        xyz=np.zeros((F, capacity, 3), np.float32),
+        doppler=np.zeros((F, capacity), np.float32),
+        intensity=np.zeros((F, capacity), np.float32),
+        mask=np.zeros((F, capacity), bool),
+        stamps=np.zeros(F, np.float64),
+        imu_dts=np.zeros((F, imu_capacity), np.float64),
+        imu_acc=np.zeros((F, imu_capacity, 3), np.float64),
+        imu_gyr=np.zeros((F, imu_capacity, 3), np.float64),
+        imu_mask=np.zeros((F, imu_capacity), bool),
+    )
+    prev_t = None
+    for i in range(F):
+        xyz, dop, inten, mask = ns.read_frame(i, capacity)
+        t = ns.frame_stamp(i)
+        out["xyz"][i], out["doppler"][i] = xyz, dop
+        out["intensity"][i], out["mask"][i] = inten, mask
+        out["stamps"][i] = t
+        t0 = prev_t if prev_t is not None else t - 0.1
+        k, st_, ac_, gy_ = ns.imu_between(t0, t, imu_capacity)
+        if k:
+            out["imu_dts"][i, :k] = np.diff(
+                np.concatenate([[t0], st_[:k]])
+            ).clip(1e-4, 0.05)
+            out["imu_acc"][i, :k] = ac_[:k]
+            out["imu_gyr"][i, :k] = gy_[:k]
+            out["imu_mask"][i, :k] = True
+        prev_t = t
+    return out
 
 
 def replay(engine, seq: RadarSequence, capacity: int = 1024, imu_capacity: int = 64, progress=None):

@@ -12,6 +12,8 @@ for-loop over `process_frame`.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,6 +101,18 @@ class EngineState:
     gps_kf_since_solve: int = 0  # GPS-tagged keyframes since last global solve
     floor_prev: object = None  # [4] fallback plane chain (initial [0,0,1,0])
     trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
+
+
+@partial(jax.jit, static_argnames="n")
+def _split_chain(key, n: int):
+    """(key, k1) = split(key) applied n times, in one dispatch. Returns the
+    advanced key and the stacked per-step k1 keys — the exact chain
+    Engine.process_frame draws one frame at a time."""
+    def f(k, _):
+        k, k1 = jax.random.split(k)
+        return k, k1
+
+    return jax.lax.scan(f, key, None, length=n)
 
 
 class Engine:
@@ -418,12 +432,10 @@ class Engine:
             np.take_along_axis(imu_gyr, first[:, None, None], axis=1)[:, 0],
             0.0,
         )
-        # the same per-frame key sequence process_frame would draw
-        keys = []
-        for _ in range(F):
-            self.key, k1 = jax.random.split(self.key)
-            keys.append(k1)
-        keys = jnp.stack(keys)
+        # the same per-frame key sequence process_frame would draw, produced
+        # in ONE dispatch (a Python split loop would issue F sequential
+        # host-device round trips — the exact cost this mode exists to avoid)
+        self.key, keys = _split_chain(self.key, F)
 
         clouds = RadarCloud(
             xyz=jnp.asarray(stacked["xyz"], dt_),

@@ -280,15 +280,21 @@ def solve_window(
     STEP_TOL = 1e-6
 
     if cfg.optimizer == "GN":
-        # Gauss-Newton: one undamped step per linearization, no inner lambda
-        # search — ~3x fewer sequential device steps per window solve. A
-        # tiny Tikhonov floor keeps rank-deficient windows (all-masked
-        # frames at startup) solvable; the step is rejected if it increases
-        # chi2 (undamped GN can overshoot on a cold window).
+        # Gauss-Newton: one (near-)undamped step per linearization, no inner
+        # lambda search — fewer sequential device steps per window solve. A
+        # rejected step (undamped GN can overshoot on a cold or
+        # post-failure-reset window) does NOT terminate the solve: damping
+        # escalates 100x and the next iteration retries from the same state;
+        # it only gives up once damping saturates. Warm per-frame windows
+        # accept the first step, so the escalation path costs nothing there.
+        LAM_MAX = 1e6
+
         def gn_body(carry):
-            x, _lam, it, done = carry
+            x, lam, it, done = carry
             H, g, y0, kw = linearize(x)
-            eps = 1e-8 * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H))), 1.0)
+            eps = jnp.maximum(lam, 1e-8) * jnp.maximum(
+                jnp.max(jnp.abs(jnp.diagonal(H))), 1.0
+            )
             if use_schur:
                 d = _schur_solve(H, g, eps, W, dtype)
             else:
@@ -297,10 +303,13 @@ def solve_window(
             y1 = chi2_of(x_new, kw)
             accept = y1 < y0
             x_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), x_new, x)
-            converged = (~accept) | (
-                jnp.abs(y0 - y1) < REL_TOL * jnp.maximum(y0, 1.0)
-            ) | (jnp.max(jnp.abs(d)) < STEP_TOL)
-            return (x_next, _lam, it + 1, converged)
+            lam_next = jnp.where(accept, jnp.maximum(lam / 10.0, 0.0), jnp.maximum(lam, 1e-8) * 100.0)
+            converged = (
+                accept & (jnp.abs(y0 - y1) < REL_TOL * jnp.maximum(y0, 1.0))
+            ) | (accept & (jnp.max(jnp.abs(d)) < STEP_TOL)) | (
+                (~accept) & (lam >= LAM_MAX)
+            )
+            return (x_next, lam_next, it + 1, converged)
 
         x_fin, _, iters, _ = jax.lax.while_loop(
             cond, gn_body,

@@ -206,3 +206,19 @@ def test_gn_optimizer_matches_lm():
     # GN with schur elimination agrees too
     x_gs, chi2_gs, _ = win.solve_window(x0, f, cfg_gn, BIAS_INFO, use_schur=True)
     np.testing.assert_allclose(float(chi2_gs), float(chi2_gn), rtol=1e-6)
+
+
+def test_gn_survives_rejected_first_step():
+    """A cold window whose first undamped GN step overshoots must escalate
+    damping and keep optimizing - not return the unoptimized init."""
+    import dataclasses as _dc
+
+    x0, f, truth = build_problem(noise_scale=1.0, init_perturb=0.5, seed=4)
+    cfg_gn = _dc.replace(CFG, optimizer="GN")
+    x_gn, chi2_gn, iters = win.solve_window(x0, f, cfg_gn, BIAS_INFO)
+    r0, _ = win.residual_vector(x0, f, CFG, BIAS_INFO)
+    chi2_init = float(jnp.sum(r0 * r0))
+    assert float(chi2_gn) < 0.5 * chi2_init
+    err0 = np.linalg.norm(np.asarray(x0.p) - np.asarray(truth.p), axis=1).mean()
+    err1 = np.linalg.norm(np.asarray(x_gn.p) - np.asarray(truth.p), axis=1).mean()
+    assert err1 < 0.5 * err0
