@@ -280,7 +280,9 @@ class Engine:
         self._verify_batch = _verify_batch
         self._solve_graph = _solve_graph
         self._edge_info = _edge_info
-        self._replay_scan = None  # built lazily by replay_sequence
+        self._replay_fn = None  # built lazily by _build_replay_fn
+        self._replay_scan = None  # jitted single-sequence replay
+        self._fleet_cache: dict = {}  # jitted vmapped fleet replay
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -415,9 +417,26 @@ class Engine:
         Returns stacked arrays: odom [F,4,4], pose [F,4,4] (window-backend
         estimate), is_keyframe [F], converged [F], chi2 [F], ego_vel [F,3].
         """
+        F = len(stacked["stamps"])
+        clouds, ang_vel, stamps, imu = self._prep_stacked(stacked)
+        # the same per-frame key sequence process_frame would draw, produced
+        # in ONE dispatch (a Python split loop would issue F sequential
+        # host-device round trips — the exact cost this mode exists to avoid)
+        self.key, keys = _split_chain(self.key, F)
+
+        self._build_replay_fn()
+        if self._replay_scan is None:
+            self._replay_scan = jax.jit(self._replay_fn)
+        out = self._replay_scan(clouds, ang_vel, stamps, *imu, keys)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _prep_stacked(self, stacked: dict):
+        """Convert a stacked-sequence dict (any leading batch dims before the
+        frame axis) to device arrays: extrinsics rotation (f64, before the
+        working-dtype cast — process_frame parity), per-frame first-valid
+        gyro sample, dtype casts."""
         c = self.cfg
         dt_ = self.dtype
-        F = len(stacked["stamps"])
         imu_acc = np.asarray(stacked["imu_acc"])
         imu_gyr = np.asarray(stacked["imu_gyr"])
         imu_mask = np.asarray(stacked["imu_mask"])
@@ -425,17 +444,11 @@ class Engine:
             ext = np.asarray(c.imu.ext_rot, dtype=np.float64).reshape(3, 3)
             imu_acc = imu_acc @ ext.T
             imu_gyr = imu_gyr @ ext.T
-        # first valid gyro sample per frame (process_frame parity)
-        first = np.argmax(imu_mask, axis=1)
-        ang_vel = np.where(
-            imu_mask.any(axis=1)[:, None],
-            np.take_along_axis(imu_gyr, first[:, None, None], axis=1)[:, 0],
-            0.0,
-        )
-        # the same per-frame key sequence process_frame would draw, produced
-        # in ONE dispatch (a Python split loop would issue F sequential
-        # host-device round trips — the exact cost this mode exists to avoid)
-        self.key, keys = _split_chain(self.key, F)
+        first = np.argmax(imu_mask, axis=-1)
+        gyr0 = np.take_along_axis(
+            imu_gyr, first[..., None, None], axis=-2
+        )[..., 0, :]
+        ang_vel = np.where(imu_mask.any(axis=-1)[..., None], gyr0, 0.0)
 
         clouds = RadarCloud(
             xyz=jnp.asarray(stacked["xyz"], dt_),
@@ -450,72 +463,112 @@ class Engine:
             jnp.asarray(imu_gyr, dt_),
             jnp.asarray(imu_mask),
         )
-        ang_vel = jnp.asarray(ang_vel, dt_)
+        return clouds, jnp.asarray(ang_vel, dt_), stamps, imu
 
-        if self._replay_scan is None:
-            frame_step = self._frame_step
-            preprocess = self._preprocess
-            backend_init = self._backend
+    def _build_replay_fn(self) -> None:
+        if self._replay_fn is not None:
+            return
+        c = self.cfg
+        dt_ = self.dtype
+        frame_step = self._frame_step
+        preprocess = self._preprocess
+        backend_init = self._backend
 
-            def _replay(clouds, ang_vel, stamps, imu_dts, imu_acc, imu_gyr,
-                        imu_mask, keys):
-                cl0 = jax.tree.map(lambda a: a[0], clouds)
-                floor0 = jnp.asarray([0.0, 0.0, 1.0, 0.0], dt_)
-                cl, ego0, prepared, fl, _, eff_floor = preprocess(
-                    cl0, ang_vel[0], keys[0], floor0
-                )
-                if c.odometry.enable_scan_to_map:
-                    odo0 = scan2map.init_state(prepared, stamps[0], c.odometry, dtype=dt_)
-                else:
-                    odo0 = odometry.init_state(prepared, stamps[0], dtype=dt_)
-                bk0 = slam.init_state(
-                    c.backend, c.imu, cloud_capacity=cl.capacity, dtype=dt_
-                )
-                frame0 = slam.BackendFrame(
-                    stamp=stamps[0],
-                    odom_R=jnp.eye(3, dtype=dt_),
-                    odom_p=jnp.zeros(3, dtype=dt_),
-                    xyz=cl.xyz, mask=cl.mask,
-                    ego_vel=ego0.v, ego_vel_cov=ego0.sigma**2,
-                    imu_dts=imu_dts[0], imu_acc=imu_acc[0],
-                    imu_gyr=imu_gyr[0], imu_mask=imu_mask[0],
-                    floor=fl.coeffs, floor_valid=fl.found,
-                )
-                bk0, bout0 = backend_init(bk0, frame0)
+        def _replay(clouds, ang_vel, stamps, imu_dts, imu_acc, imu_gyr,
+                    imu_mask, keys):
+            cl0 = jax.tree.map(lambda a: a[0], clouds)
+            floor0 = jnp.asarray([0.0, 0.0, 1.0, 0.0], dt_)
+            cl, ego0, prepared, fl, _, eff_floor = preprocess(
+                cl0, ang_vel[0], keys[0], floor0
+            )
+            if c.odometry.enable_scan_to_map:
+                odo0 = scan2map.init_state(prepared, stamps[0], c.odometry, dtype=dt_)
+            else:
+                odo0 = odometry.init_state(prepared, stamps[0], dtype=dt_)
+            bk0 = slam.init_state(
+                c.backend, c.imu, cloud_capacity=cl.capacity, dtype=dt_
+            )
+            frame0 = slam.BackendFrame(
+                stamp=stamps[0],
+                odom_R=jnp.eye(3, dtype=dt_),
+                odom_p=jnp.zeros(3, dtype=dt_),
+                xyz=cl.xyz, mask=cl.mask,
+                ego_vel=ego0.v, ego_vel_cov=ego0.sigma**2,
+                imu_dts=imu_dts[0], imu_acc=imu_acc[0],
+                imu_gyr=imu_gyr[0], imu_mask=imu_mask[0],
+                floor=fl.coeffs, floor_valid=fl.found,
+            )
+            bk0, bout0 = backend_init(bk0, frame0)
 
-                def step(carry, xs):
-                    odo, bk, prev_floor = carry
-                    cl_i, av, t, idts, iacc, igyr, imask_i, k = xs
-                    odo, bk, _, ego, _, _, oout, bout, prev_floor = frame_step(
-                        odo, bk, cl_i, av, t, idts, iacc, igyr, imask_i, k,
-                        prev_floor,
-                    )
-                    return (odo, bk, prev_floor), (
-                        oout.odom, oout.is_keyframe, oout.reg.converged,
-                        bout.pose, bout.chi2, ego.v, bout.iterations,
-                    )
-
-                rest = jax.tree.map(lambda a: a[1:], clouds)
-                _, ys = jax.lax.scan(
-                    step, (odo0, bk0, eff_floor),
-                    (rest, ang_vel[1:], stamps[1:], imu_dts[1:], imu_acc[1:],
-                     imu_gyr[1:], imu_mask[1:], keys[1:]),
+            def step(carry, xs):
+                odo, bk, prev_floor = carry
+                cl_i, av, t, idts, iacc, igyr, imask_i, k = xs
+                odo, bk, _, ego, _, _, oout, bout, prev_floor = frame_step(
+                    odo, bk, cl_i, av, t, idts, iacc, igyr, imask_i, k,
+                    prev_floor,
                 )
-                odom, is_kf, conv, pose, chi2, ego_v, solver_iters = ys
-                one = lambda x0, x: jnp.concatenate([x0[None], x])
-                return dict(
-                    odom=one(jnp.eye(4, dtype=dt_), odom),
-                    pose=one(bout0.pose, pose),
-                    is_keyframe=one(jnp.asarray(True), is_kf),
-                    converged=one(jnp.asarray(True), conv),
-                    chi2=one(bout0.chi2, chi2),
-                    ego_vel=one(ego0.v, ego_v),
-                    solver_iterations=one(bout0.iterations, solver_iters),
+                return (odo, bk, prev_floor), (
+                    oout.odom, oout.is_keyframe, oout.reg.converged,
+                    bout.pose, bout.chi2, ego.v, bout.iterations,
                 )
 
-            self._replay_scan = jax.jit(_replay)
+            rest = jax.tree.map(lambda a: a[1:], clouds)
+            _, ys = jax.lax.scan(
+                step, (odo0, bk0, eff_floor),
+                (rest, ang_vel[1:], stamps[1:], imu_dts[1:], imu_acc[1:],
+                 imu_gyr[1:], imu_mask[1:], keys[1:]),
+            )
+            odom, is_kf, conv, pose, chi2, ego_v, solver_iters = ys
+            one = lambda x0, x: jnp.concatenate([x0[None], x])
+            return dict(
+                odom=one(jnp.eye(4, dtype=dt_), odom),
+                pose=one(bout0.pose, pose),
+                is_keyframe=one(jnp.asarray(True), is_kf),
+                converged=one(jnp.asarray(True), conv),
+                chi2=one(bout0.chi2, chi2),
+                ego_vel=one(ego0.v, ego_v),
+                solver_iterations=one(bout0.iterations, solver_iters),
+            )
 
-        out = self._replay_scan(clouds, ang_vel, stamps, *imu, keys)
+        self._replay_fn = _replay
+
+    def replay_fleet(self, stacked: dict, mesh=None, axis: str = "data") -> dict:
+        """Data-parallel fleet replay: B independent sequences, each the full
+        device-resident pipeline scan of `replay_sequence`, vmapped over the
+        leading batch axis and (optionally) sharded over a mesh axis — one
+        dispatch maps a whole fleet of recordings. This is the offline
+        multi-bag batch-processing role scaled the TPU way: sequences stay
+        serial (SLAM is causal), the fleet axis rides the mesh.
+
+        `stacked` is a stack_sequence dict with a leading batch dim on every
+        array ([B, F, ...]); sequences must share F and capacities (pad the
+        frame axis by repeating the last frame if needed). Sequence b draws
+        its key chain from fold_in(session_key, b). Returns the
+        replay_sequence dict with a leading [B] axis.
+        """
+        B, F = stacked["stamps"].shape
+        inputs = self._prep_stacked(stacked)
+        base = self.key
+        self.key = jax.random.split(self.key)[0]
+        seq_keys = jax.vmap(lambda b: jax.random.fold_in(base, b))(jnp.arange(B))
+        keys = jax.vmap(lambda k: _split_chain(k, F)[1])(seq_keys)
+
+        self._build_replay_fn()
+        cache_key = (B, F, stacked["xyz"].shape[-2], id(mesh))
+        if self._fleet_cache.get("key") != cache_key:
+            fn = jax.vmap(self._replay_fn)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # a single sharding is a valid pytree prefix for every
+                # argument leaf: batch axis over the mesh, rest replicated
+                batch_sh = NamedSharding(mesh, P(axis))
+                fn = jax.jit(fn, in_shardings=batch_sh, out_shardings=batch_sh)
+            else:
+                fn = jax.jit(fn)
+            self._fleet_cache = {"key": cache_key, "fn": fn}
+        clouds, ang_vel, stamps, imu = inputs
+        out = self._fleet_cache["fn"](clouds, ang_vel, stamps, *imu, keys)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _compact_keyframes(self) -> None:

@@ -51,3 +51,58 @@ def test_replay_scan_compiles_once_per_shape():
     # different keys are drawn on the second call -> REVE RANSAC may pick
     # different hypotheses, but the trajectory must stay consistent
     assert np.isfinite(r2["pose"]).all()
+
+
+def test_replay_fleet_matches_per_sequence():
+    """B sequences through the vmapped fleet replay == each sequence through
+    the single-sequence replay with the fleet's per-sequence folded key."""
+    import jax
+
+    seqs = [_course(n_frames=6, seed=s) for s in (3, 4)]
+    stacked = [datasets.stack_sequence(s, capacity=128, imu_capacity=16) for s in seqs]
+    batch = {k: np.stack([st[k] for st in stacked]) for k in stacked[0]}
+
+    eng = pipeline.Engine(EngineConfig(), dtype=jnp.float32, seed=5)
+    base = eng.key
+    fleet = eng.replay_fleet(batch)
+    assert fleet["pose"].shape == (2, 6, 4, 4)
+
+    for b in range(2):
+        single = pipeline.Engine(EngineConfig(), dtype=jnp.float32, seed=0)
+        single.key = jax.random.fold_in(base, b)
+        rep = single.replay_sequence(stacked[b])
+        # vmapped vs single programs fuse differently; poses agree to float
+        # noise, discrete decisions (keyframes) must agree exactly
+        np.testing.assert_allclose(fleet["pose"][b], rep["pose"], atol=1e-3)
+        np.testing.assert_array_equal(fleet["is_keyframe"][b], rep["is_keyframe"])
+
+
+def test_replay_fleet_sharded_virtual_mesh():
+    """Fleet replay over a 'data'-sharded mesh executes and matches the
+    unsharded fleet (8 virtual CPU devices via conftest XLA_FLAGS)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multiple devices")
+    from jax.sharding import Mesh
+    import numpy as _np
+
+    n = min(4, len(jax.devices()))
+    mesh = Mesh(_np.asarray(jax.devices()[:n]), axis_names=("data",))
+    seqs = [_course(n_frames=5, seed=10 + s) for s in range(n)]
+    stacked = [datasets.stack_sequence(s, capacity=128, imu_capacity=16) for s in seqs]
+    batch = {k: np.stack([st[k] for st in stacked]) for k in stacked[0]}
+
+    eng1 = pipeline.Engine(EngineConfig(), dtype=jnp.float32, seed=9)
+    plain = eng1.replay_fleet(batch)
+    eng2 = pipeline.Engine(EngineConfig(), dtype=jnp.float32, seed=9)
+    sharded = eng2.replay_fleet(batch, mesh=mesh, axis="data")
+    # the sharded compilation is a different XLA program: float noise can
+    # flip a borderline RANSAC hypothesis, so agreement is trajectory-level
+    # (sub-decimeter on a ~12 m course), not bitwise
+    assert np.isfinite(sharded["pose"]).all()
+    d = np.linalg.norm(
+        sharded["pose"][..., :3, 3] - plain["pose"][..., :3, 3], axis=-1
+    )
+    assert d.max() < 0.5, d.max()
