@@ -193,7 +193,25 @@ def main(argv=None) -> int:
               "timing)", file=sys.stderr)
         for t, pose in zip(stacked["stamps"], rep["pose"]):
             eng.state.trajectory.append((float(t), np.asarray(pose)))
-        for flag in ("map", "ckpt", "viz"):
+        if args.map:
+            # MapCloudGenerator role from the replay outputs: keyframe-flagged
+            # frames' clouds under their window-backend poses (no loop
+            # correction — device replay has no loop stage)
+            import jax.numpy as jnp2
+
+            from rivslam_tpu.backend import map as map_mod
+
+            kf = np.asarray(rep["is_keyframe"], bool)
+            map_xyz, valid = map_mod.assemble_map(
+                jnp2.asarray(stacked["xyz"][kf], eng.dtype),
+                jnp2.asarray(stacked["mask"][kf]),
+                jnp2.asarray(rep["pose"][kf], eng.dtype),
+            )
+            pts = np.asarray(map_xyz)[np.asarray(valid)]
+            map_mod.save_map_pcd(args.map, pts, zero_utm=None,
+                                 apply_utm_offset=False)
+            print(f"wrote {len(pts)} map points to {args.map}")
+        for flag in ("ckpt", "viz"):
             if getattr(args, flag):
                 print(f"--{flag} needs keyframe state; not available under "
                       "--device-replay", file=sys.stderr)
