@@ -64,6 +64,11 @@ def get_lib() -> ctypes.CDLL:
     lib.rivbin_format_version.argtypes = [c.c_void_p]
     lib.rivbin_corrupt_frame.restype = c.c_int64
     lib.rivbin_corrupt_frame.argtypes = [c.c_void_p]
+    lib.rivbin_tum_ate.restype = c.c_int
+    lib.rivbin_tum_ate.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_double,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
     u8buf = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.rivbin_lz4_compress.restype = c.c_int64
     lib.rivbin_lz4_compress.argtypes = [u8buf, c.c_int64, u8buf, c.c_int64]
@@ -105,6 +110,23 @@ def lz4_block_decompress(data: bytes, max_size: int) -> bytes:
     if n == 0 and len(data) > 1:
         raise ValueError("lz4 decompress: corrupt block or capacity exceeded")
     return dst[:n].tobytes()
+
+
+def tum_ate(est_path: str, gt_path: str, max_dt: float = 0.05) -> dict:
+    """Native ATE: TUM parse -> nearest-stamp association -> Horn SE(3)
+    alignment -> error stats, all in C++ (the rpg-style protocol of
+    eval/ate.py for scoring outside the Python/JAX process)."""
+    lib = get_lib()
+    out = np.zeros(6, dtype=np.float64)
+    rc = lib.rivbin_tum_ate(est_path.encode(), gt_path.encode(), max_dt, out)
+    if rc != 0:
+        reason = {-1: f"cannot read {est_path}", -2: f"cannot read {gt_path}",
+                  -3: "fewer than 3 associated pairs"}.get(rc, f"error {rc}")
+        raise ValueError(f"tum_ate: {reason}")
+    return {
+        "pairs": int(out[0]), "rmse": float(out[1]), "mean": float(out[2]),
+        "median": float(out[3]), "max": float(out[4]), "std": float(out[5]),
+    }
 
 
 def write_rivbin(path: str, seq, compress: bool = False) -> None:

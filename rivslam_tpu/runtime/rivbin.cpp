@@ -30,7 +30,9 @@
 // LZ4 block format (greedy 4-byte-hash matcher), cross-validated in tests
 // against the independent pure-python decoder in io/lz4f.py.
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -639,6 +641,146 @@ void rivbin_loader_destroy(void* loader) {
   l->cv_space.notify_all();
   for (auto& t : l->workers) t.join();
   delete l;
+}
+
+// ------------------------------------------------------------- TUM / ATE
+// Native trajectory evaluator: the rpg-style protocol of eval/ate.py
+// (TUM parse -> nearest-stamp association, gps_traj_align.cpp `associate`
+// semantics -> Horn closed-form SE(3) alignment -> ATE stats) in C++ for
+// post-run scoring off the Python/JAX process. Cross-validated against
+// eval/ate.py in tests/test_native_runtime.py.
+
+namespace {
+
+struct TumTraj {
+  std::vector<double> t;
+  std::vector<double> xyz;  // 3 per row
+};
+
+bool load_tum(const char* path, TumTraj* out) {
+  FILE* f = fopen(path, "r");
+  if (!f) return false;
+  char line[512];
+  while (fgets(line, sizeof(line), f)) {
+    if (line[0] == '#' || line[0] == '\n') continue;
+    double t, x, y, z, qx, qy, qz, qw;
+    if (sscanf(line, "%lf %lf %lf %lf %lf %lf %lf %lf", &t, &x, &y, &z, &qx,
+               &qy, &qz, &qw) >= 4) {
+      out->t.push_back(t);
+      out->xyz.push_back(x);
+      out->xyz.push_back(y);
+      out->xyz.push_back(z);
+    }
+  }
+  fclose(f);
+  return !out->t.empty();
+}
+
+// dominant eigenvector of the symmetric 4x4 N by shifted power iteration
+void dominant_eigvec4(const double N[4][4], double q[4]) {
+  double shift = 0.0;  // Gershgorin bound makes N + shift*I PSD-dominant
+  for (int i = 0; i < 4; ++i) {
+    double row = 0.0;
+    for (int j = 0; j < 4; ++j) row += std::fabs(N[i][j]);
+    shift = std::max(shift, row);
+  }
+  double v[4] = {1.0, 0.1, 0.2, 0.3};
+  for (int it = 0; it < 200; ++it) {
+    double w[4];
+    for (int i = 0; i < 4; ++i) {
+      w[i] = shift * v[i];
+      for (int j = 0; j < 4; ++j) w[i] += N[i][j] * v[j];
+    }
+    double n = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2] + w[3] * w[3]);
+    for (int i = 0; i < 4; ++i) v[i] = w[i] / n;
+  }
+  for (int i = 0; i < 4; ++i) q[i] = v[i];
+}
+
+}  // namespace
+
+// out[6] = {n_pairs, rmse, mean, median, max, std}; returns 0 on success.
+// ATE after closed-form SE(3) alignment (Horn quaternion method — the same
+// optimum as eval/ate.py's Umeyama SVD without scale).
+int rivbin_tum_ate(const char* est_path, const char* gt_path, double max_dt,
+                   double* out) {
+  TumTraj est, gt;
+  if (!load_tum(est_path, &est)) return -1;
+  if (!load_tum(gt_path, &gt)) return -2;
+  // nearest-stamp association (tools.associate_by_stamp semantics)
+  std::vector<std::pair<int64_t, int64_t>> pairs;
+  int64_t j = 0;
+  const int64_t m = (int64_t)gt.t.size();
+  for (int64_t i = 0; i < (int64_t)est.t.size(); ++i) {
+    const double t = est.t[i];
+    while (j + 1 < m && std::fabs(gt.t[j + 1] - t) <= std::fabs(gt.t[j] - t))
+      ++j;
+    if (std::fabs(gt.t[j] - t) <= max_dt) pairs.emplace_back(i, j);
+  }
+  const int64_t n = (int64_t)pairs.size();
+  if (n < 3) return -3;
+
+  double mu_e[3] = {0, 0, 0}, mu_g[3] = {0, 0, 0};
+  for (auto& pr : pairs)
+    for (int k = 0; k < 3; ++k) {
+      mu_e[k] += est.xyz[3 * pr.first + k] / n;
+      mu_g[k] += gt.xyz[3 * pr.second + k] / n;
+    }
+  // Horn's S_ab = sum (est_c)_a (gt_c)_b — first index est, second gt; the
+  // dominant eigenvector of N then rotates est into gt
+  double M[3][3] = {{0}};
+  for (auto& pr : pairs)
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c)
+        M[r][c] += (est.xyz[3 * pr.first + r] - mu_e[r]) *
+                   (gt.xyz[3 * pr.second + c] - mu_g[c]);
+  // Horn's N matrix; its dominant eigenvector is the optimal quaternion
+  const double Sxx = M[0][0], Sxy = M[0][1], Sxz = M[0][2];
+  const double Syx = M[1][0], Syy = M[1][1], Syz = M[1][2];
+  const double Szx = M[2][0], Szy = M[2][1], Szz = M[2][2];
+  const double N4[4][4] = {
+      {Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx},
+      {Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz},
+      {Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy},
+      {Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz},
+  };
+  double q[4];
+  dominant_eigvec4(N4, q);
+  const double w = q[0], x = q[1], y = q[2], z = q[3];
+  const double R[3][3] = {
+      {1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)},
+      {2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)},
+      {2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)},
+  };
+  double tr[3];
+  for (int r = 0; r < 3; ++r)
+    tr[r] = mu_g[r] - (R[r][0] * mu_e[0] + R[r][1] * mu_e[1] + R[r][2] * mu_e[2]);
+
+  std::vector<double> err(n);
+  double sum = 0.0, sum2 = 0.0, mx = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double* e = &est.xyz[3 * pairs[i].first];
+    const double* g = &gt.xyz[3 * pairs[i].second];
+    double d2 = 0.0;
+    for (int r = 0; r < 3; ++r) {
+      const double a =
+          R[r][0] * e[0] + R[r][1] * e[1] + R[r][2] * e[2] + tr[r] - g[r];
+      d2 += a * a;
+    }
+    err[i] = std::sqrt(d2);
+    sum += err[i];
+    sum2 += d2;
+    mx = std::max(mx, err[i]);
+  }
+  std::sort(err.begin(), err.end());
+  const double mean = sum / n;
+  out[0] = (double)n;
+  out[1] = std::sqrt(sum2 / n);
+  out[2] = mean;
+  out[3] = (n % 2) ? err[n / 2] : 0.5 * (err[n / 2 - 1] + err[n / 2]);
+  out[4] = mx;
+  out[5] = std::sqrt(std::max(0.0, sum2 / n - mean * mean));
+  return 0;
 }
 
 }  // extern "C"

@@ -276,3 +276,41 @@ def test_rivbin_v2_compresses_realistic_frames(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     s1.close(); s2.close()
+
+
+def test_native_tum_ate_matches_python():
+    """The C++ evaluator (Horn alignment) must agree with eval/ate.py
+    (Umeyama SVD) - same optimum, independent implementations."""
+    import os
+    import tempfile
+
+    from rivslam_tpu.eval import ate as ate_py
+    from rivslam_tpu.io import tum
+
+    rng = np.random.default_rng(11)
+    F = 120
+    ts = np.arange(F) * 0.1
+    gt = np.zeros((F, 4, 4)) + np.eye(4)
+    th = np.linspace(0, 2 * np.pi, F)
+    gt[:, 0, 3] = 10 * np.cos(th)
+    gt[:, 1, 3] = 10 * np.sin(th)
+    gt[:, 2, 3] = 0.1 * th
+    # estimate = gt under a rigid offset + noise
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    est = gt.copy()
+    est[:, :3, 3] = (gt[:, :3, 3] @ R.T) + [3.0, -2.0, 1.0]
+    est[:, :3, 3] += rng.normal(scale=0.05, size=(F, 3))
+    with tempfile.TemporaryDirectory() as d:
+        pe, pg = os.path.join(d, "est.txt"), os.path.join(d, "gt.txt")
+        tum.save_tum(pe, ts, est)
+        tum.save_tum(pg, ts, gt)
+        res = native.tum_ate(pe, pg)
+    ref = ate_py.ate(est[:, :3, 3], gt[:, :3, 3])
+    assert res["pairs"] == F
+    for k in ("rmse", "mean", "median", "max", "std"):
+        np.testing.assert_allclose(res[k], ref[k], rtol=1e-5, atol=1e-8)
+    # error paths
+    with pytest.raises(ValueError, match="cannot read"):
+        native.tum_ate("/nonexistent_est.txt", "/nonexistent_gt.txt")
