@@ -30,6 +30,10 @@ def main(argv=None) -> int:
                          "zero_utm origin (SaveMap req.utm parity)")
     ap.add_argument("--preset", default=None,
                     help="dataset preset (ntu4dradlm|cp|nyl|garden|mine|hugin|sjtu|long)")
+    ap.add_argument("--async-loop", action="store_true",
+                    help="run loop detection + the global solve on a "
+                    "background thread (the reference's wall-timer "
+                    "architecture); corrections merge at the next frame")
     ap.add_argument("--loop-candidates", type=int, default=None,
                     help="verify top-k scan-context candidates per keyframe in one batched dispatch (default 1)")
     ap.add_argument("--histogram", action="store_true",
@@ -112,6 +116,10 @@ def main(argv=None) -> int:
     if args.loop_candidates is not None:
         cfg = dataclasses.replace(
             cfg, loop=dataclasses.replace(cfg.loop, verify_candidates=args.loop_candidates)
+        )
+    if args.async_loop:
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, async_loop=True)
         )
     if args.use_ego_vel:
         cfg = dataclasses.replace(

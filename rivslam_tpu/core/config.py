@@ -303,6 +303,16 @@ class LoopConfig:
     schur_blocks: int = 32  # submap count for the block-Schur solver (the
     # measured v5e sweet spot at keyframe_capacity=2048: 104 ms/solve vs
     # 138 ms at 16 and 837 ms in round 1 — see BENCHMARKS.md)
+    async_loop: bool = False  # run loop detection + the global solve on a
+    # background worker thread instead of inside process_frame — the
+    # reference's architecture (its loop path lives on a wall timer +
+    # separate loop_optimizer, radar_graph_slam_nodelet.cpp:177,652-778,
+    # asynchronous w.r.t. the frame callback). Corrections are merged at
+    # the next process_frame: solved poses land on the keyframes the
+    # worker saw, newer keyframes are re-chained with their raw odometry
+    # deltas (the trans_odom2map retarget role). `Engine.drain_loops()`
+    # blocks until in-flight detections are applied; draining after every
+    # frame reproduces the synchronous path bit-exactly (tested).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,23 +64,12 @@ def _interp_gt(gt_poses: np.ndarray, times: np.ndarray, stamps) -> np.ndarray:
     return gt_poses[idx]
 
 
-def run_course(
-    course: str,
-    method: str = "FAST_APDGICP",
-    loop_on: bool = True,
-    seed: int = 21,
-    dtype=jnp.float32,
-    sim_overrides: dict | None = None,
-) -> dict:
-    """Simulate the course, replay it through the engine, score it."""
-    params = dict(COURSES[course])
-    params.update(sim_overrides or {})
-    seq, _ = synthetic.simulate_sequence(seed=seed, **params)
-
+def build_course_cfg(course: str, method: str = "FAST_APDGICP", loop_on: bool = True):
+    """Engine config for a validation course (shared with eval/latency.py)."""
     cfg = presets.get(PRESET_FOR_COURSE[course])
     # synthetic scans are instantaneous; the simulator's world has no
     # under-floor returns to cull
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         cfg,
         preprocess=dataclasses.replace(
             cfg.preprocess, enable_deskew=False, enable_under_floor_removal=False
@@ -101,6 +90,22 @@ def run_course(
             thresholding_fallback="EGOVEL",
         ),
     )
+
+
+def run_course(
+    course: str,
+    method: str = "FAST_APDGICP",
+    loop_on: bool = True,
+    seed: int = 21,
+    dtype=jnp.float32,
+    sim_overrides: dict | None = None,
+) -> dict:
+    """Simulate the course, replay it through the engine, score it."""
+    params = dict(COURSES[course])
+    params.update(sim_overrides or {})
+    seq, _ = synthetic.simulate_sequence(seed=seed, **params)
+
+    cfg = build_course_cfg(course, method, loop_on)
     eng = pipeline.Engine(cfg, dtype=dtype)
     outputs = datasets.replay(eng, seq, capacity=params["capacity"])
 

@@ -12,6 +12,7 @@ for-loop over `process_frame`.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from functools import partial
 
 import jax
@@ -101,6 +102,8 @@ class EngineState:
     gps_kf_since_solve: int = 0  # GPS-tagged keyframes since last global solve
     floor_prev: object = None  # [4] fallback plane chain (initial [0,0,1,0])
     trajectory: list = dataclasses.field(default_factory=list)  # (t, pose 4x4)
+    compact_epoch: int = 0  # bumped by _compact_keyframes; async loop results
+    # from before a compaction carry stale node indices and are dropped
 
 
 @partial(jax.jit, static_argnames="n")
@@ -213,6 +216,33 @@ class Engine:
             return global_graph.solve_pose_graph(g)
 
         @jax.jit
+        def _merge_chain(live_R, live_p, solved_R, solved_p, rel_R, rel_p, k_snap, count):
+            """Merge an async worker's solved pose set into the live graph:
+            nodes <= k_snap take the worker's estimates; keyframes inserted
+            since the snapshot re-chain their raw odometry deltas onto them
+            (the trans_odom2map retarget, radar_graph_slam_nodelet.cpp:222-247
+            applied at merge time); slots >= count keep their live values."""
+            K = live_R.shape[0]
+            eye3 = jnp.eye(3, dtype=live_R.dtype)
+
+            def body(carry, i):
+                Rp, pp = carry
+                chain_R = Rp @ rel_R[i]
+                chain_p = Rp @ rel_p[i] + pp
+                use_solved = i <= k_snap
+                R_i = jnp.where(use_solved, solved_R[i], chain_R)
+                p_i = jnp.where(use_solved, solved_p[i], chain_p)
+                dead = i >= count
+                R_i = jnp.where(dead, live_R[i], R_i)
+                p_i = jnp.where(dead, live_p[i], p_i)
+                return (R_i, p_i), (R_i, p_i)
+
+            (_, _), (Rs, ps) = jax.lax.scan(
+                body, (eye3, jnp.zeros(3, dtype=live_p.dtype)), jnp.arange(K)
+            )
+            return Rs, ps
+
+        @jax.jit
         def _edge_info(xyz1, mask1, xyz2, mask2, relpose):
             from rivslam_tpu.factors import infomat
 
@@ -280,8 +310,19 @@ class Engine:
         self._verify_batch = _verify_batch
         self._solve_graph = _solve_graph
         self._edge_info = _edge_info
+        self._merge_chain = _merge_chain
         self._replay_fn = None  # built lazily by _build_replay_fn
         self._replay_scan = None  # jitted single-sequence replay
+        # async loop-closure worker (LoopConfig.async_loop): one job in
+        # flight, results merged on the main thread at the next frame
+        self._loop_thread = None
+        self._loop_queue = None
+        self._loop_results: list = []
+        self._loop_lock = threading.Lock()
+        self._loop_busy = False
+        self._loop_skipped = 0  # keyframes whose detection was skipped
+        # because the worker was still busy (= reference timer overrun)
+        self._loop_error: BaseException | None = None
         self._fleet_cache: dict = {}  # jitted vmapped fleet replay
 
     # ------------------------------------------------------------------
@@ -305,6 +346,9 @@ class Engine:
         the keyframe in the global graph. Returns outputs."""
         c = self.cfg
         st = self.state
+        # merge any finished async loop detections FIRST so this frame's
+        # keyframe chains onto the corrected graph (LoopConfig.async_loop)
+        loop_applied = self._apply_pending_loops()
         self.key, k1 = jax.random.split(self.key)
 
         if c.imu.apply_extrinsics:
@@ -373,12 +417,12 @@ class Engine:
             status = self._scan_matching_status(oout)
 
         # ---- keyframe bookkeeping + global graph + loop closure
-        loop_found = False
+        loop_found = loop_applied
         if is_kf:
             with self.timers.time("loop"):
                 loop_found = self._on_keyframe(
                     cl, odom_pose, stamp, altitude, gps_utm, gps_cov
-                )
+                ) or loop_found
 
         st.frame_idx += 1
         pose = np.asarray(bout.pose)
@@ -608,6 +652,9 @@ class Engine:
         st.kf_count = len(keep)
         # pairwise-consistency memory references old indices; drop it
         st.prev_loop = None
+        # in-flight async detections carry pre-compaction node indices;
+        # the epoch bump makes _apply_pending_loops drop their results
+        st.compact_epoch += 1
 
     @staticmethod
     def _scan_matching_status(oout) -> dict:
@@ -658,6 +705,53 @@ class Engine:
         self, cl: RadarCloud, odom_pose, stamp: float, altitude=None,
         gps_utm=None, gps_cov=None,
     ) -> bool:
+        """Keyframe hook: graph insertion (always synchronous — later
+        keyframes chain onto it), then loop detection inline (default) or
+        handed to the background worker (LoopConfig.async_loop — the
+        reference's wall-timer architecture, where the loop path runs on
+        its own thread asynchronously to the frame callback,
+        radar_graph_slam_nodelet.cpp:177,652-778)."""
+        c = self.cfg
+        st = self.state
+        k = self._insert_keyframe(cl, odom_pose, stamp, altitude, gps_utm, gps_cov)
+        if k is None:
+            return False
+        # ---- loop detection (activated, unlike the reference)
+        if not c.loop.enable or st.kf_count < c.loop.num_exclude_recent + 2:
+            return False
+        snap = {
+            # device arrays are immutable; host lists are shallow-copied so
+            # the worker thread sees a consistent snapshot
+            "xyz": cl.xyz,
+            "intensity": cl.intensity,
+            "mask": cl.mask,
+            "k": k,
+            "odom_pose": odom_pose,
+            "graph": st.graph,
+            "scdb": st.scdb,
+            "kf_clouds": list(st.kf_clouds),
+            "kf_accum": list(st.kf_accum),
+            "kf_alt": list(st.kf_alt),
+            "kf_count": st.kf_count,
+            "last_loop_accum": st.last_loop_accum,
+            "prev_loop": st.prev_loop,
+            "epoch": st.compact_epoch,
+        }
+        if c.loop.async_loop:
+            self._submit_loop_job(snap)
+            return False
+        det = self._run_loop_detection(snap)
+        if det is None:
+            return False
+        return self._accept_loop(det, solved=None)
+
+    def _insert_keyframe(
+        self, cl: RadarCloud, odom_pose, stamp: float, altitude=None,
+        gps_utm=None, gps_cov=None,
+    ):
+        """Synchronous keyframe bookkeeping: global-graph node + odometry
+        edge, scan-context insert, host-side lists, GPS/UTM prior. Returns
+        the node index, or None when the graph is full and cannot compact."""
         c = self.cfg
         st = self.state
         if st.scdb is None:
@@ -752,30 +846,41 @@ class Engine:
                     st.graph, _ = self._solve_graph(st.graph)
                 st.gps_kf_since_solve = 0
 
-        # ---- loop detection (activated, unlike the reference)
-        if not c.loop.enable or st.kf_count < c.loop.num_exclude_recent + 2:
-            return False
+        return k
+
+    # ---- loop detection ----------------------------------------------
+    def _run_loop_detection(self, snap: dict):
+        """Scan-context match + registration verify + consistency gates over
+        a state snapshot (immutable device arrays + shallow-copied host
+        lists — safe to run on the worker thread). Returns the accepted-loop
+        record (edge measurement, information, gating updates) or None."""
+        c = self.cfg
+        K = c.loop.keyframe_capacity
+        k = snap["k"]
+        kf_count = snap["kf_count"]
+        graph = snap["graph"]
+        odom_pose = snap["odom_pose"]
         # pad on the HOST: a jnp `.at[:count].set` with a count-shaped RHS
         # compiles a fresh padding program per keyframe count (each compile
         # is a relay round trip on axon) — numpy padding keeps every device
         # array shape fixed at [K]
         accum_np = np.zeros(K, np.float64)
-        accum_np[: st.kf_count] = st.kf_accum
+        accum_np[:kf_count] = snap["kf_accum"]
         accum_arr = jnp.asarray(accum_np, dtype=self.dtype)
-        alt_np = np.asarray(st.kf_alt, dtype=np.float64)
+        alt_np = np.asarray(snap["kf_alt"], dtype=np.float64)
         alt_pad = np.zeros(K, np.float64)
-        alt_pad[: st.kf_count] = np.nan_to_num(alt_np)
+        alt_pad[:kf_count] = np.nan_to_num(alt_np)
         alt_arr = jnp.asarray(alt_pad, dtype=self.dtype)
         alt_valid_np = np.zeros(K, bool)
-        alt_valid_np[: st.kf_count] = ~np.isnan(alt_np)
+        alt_valid_np[:kf_count] = ~np.isnan(alt_np)
         alt_valid = jnp.asarray(alt_valid_np)
         cand = detector.prefilter_candidates(
             accum_arr,
-            st.graph.R,
-            st.graph.p,
-            st.graph.node_mask,
+            graph.R,
+            graph.p,
+            graph.node_mask,
             jnp.asarray(k),
-            jnp.asarray(st.last_loop_accum, self.dtype),
+            jnp.asarray(snap["last_loop_accum"], self.dtype),
             c.loop,
             altitude=alt_arr,
             altitude_valid=alt_valid,
@@ -784,93 +889,220 @@ class Engine:
             # batched path: registration-verify the top-k SC candidates in one
             # vmapped dispatch, keep the best-fitness pass
             idxs, yaws, dists, valid = self._sc_match_topk(
-                st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
+                snap["scdb"], snap["xyz"], snap["intensity"], snap["mask"],
+                jnp.asarray(k), cand
             )
             idxs_h = np.asarray(idxs)
             if not bool(np.any(idxs_h >= 0)):
-                return False
+                return None
             gather = [max(int(i), 0) for i in idxs_h]
-            cands_xyz = jnp.stack([st.kf_clouds[i][0] for i in gather])
-            cands_mask = jnp.stack([st.kf_clouds[i][1] for i in gather])
+            cands_xyz = jnp.stack([snap["kf_clouds"][i][0] for i in gather])
+            cands_mask = jnp.stack([snap["kf_clouds"][i][1] for i in gather])
             bres, oks, best = self._verify_batch(
-                cl.xyz, cl.mask, cands_xyz, cands_mask, yaws, valid
+                snap["xyz"], snap["mask"], cands_xyz, cands_mask, yaws, valid
             )
             if not bool(np.any(np.asarray(oks))):
-                return False
+                return None
             b = int(best)
             idx = int(idxs_h[b])
             res = jax.tree.map(lambda x: x[b], bres)
-            cand_xyz, cand_mask = st.kf_clouds[idx]
+            cand_xyz, cand_mask = snap["kf_clouds"][idx]
         else:
             idx, yaw, dist = self._sc_match(
-                st.scdb, cl.xyz, cl.intensity, cl.mask, jnp.asarray(k), cand
+                snap["scdb"], snap["xyz"], snap["intensity"], snap["mask"],
+                jnp.asarray(k), cand
             )
             idx = int(idx)
             if idx < 0:
-                return False
+                return None
             # registration verification
-            cand_xyz, cand_mask = st.kf_clouds[idx]
-            res, ok = self._verify(cl.xyz, cl.mask, cand_xyz, cand_mask, yaw)
+            cand_xyz, cand_mask = snap["kf_clouds"][idx]
+            res, ok = self._verify(snap["xyz"], snap["mask"], cand_xyz, cand_mask, yaw)
             if not bool(ok):
-                return False
+                return None
         # odometry check: T_lc maps new cloud into candidate frame
         T_lc = res.T  # new (j=k) -> cand (i=idx)
-        odom_i = lie.se3_matrix(st.graph.R[idx], st.graph.p[idx])
+        odom_i = lie.se3_matrix(graph.R[idx], graph.p[idx])
         odom_j = odom_pose
-        if c.loop.enable and not bool(
+        if not bool(
             detector.odometry_check(
                 lie.se3_inverse(T_lc), odom_i, odom_j, jnp.asarray(k - idx), c.loop
             )
         ):
-            return False
-        if st.prev_loop is not None:
+            return None
+        if snap["prev_loop"] is not None:
             ok_pair = detector.pairwise_check(
                 lie.se3_inverse(T_lc),
                 odom_i,
                 odom_j,
-                st.prev_loop["odom_i"],
-                st.prev_loop["odom_j"],
-                st.prev_loop["T_lc"],
+                snap["prev_loop"]["odom_i"],
+                snap["prev_loop"]["odom_j"],
+                snap["prev_loop"]["T_lc"],
                 jnp.asarray(True),
                 c.loop,
             )
             if not bool(ok_pair):
-                return False
+                return None
 
-        # accept: add loop edge (measurement T_i^-1 T_j = inverse of T_lc
-        # since T_lc aligns cloud_j into frame_i: T_i^-1 T_j ~ T_lc)
-        g = st.graph
+        # accepted: information from registration fitness between the matched
+        # clouds (loop_detector.cpp:314: calc_information_matrix(cure, prev,
+        # T_lc)); measurement T_i^-1 T_j = T_lc (it aligns cloud_j into
+        # frame_i)
+        loop_info = self._edge_info(
+            snap["xyz"], snap["mask"], cand_xyz, cand_mask, lie.se3_inverse(T_lc)
+        )
+        return {
+            "k": k,
+            "idx": idx,
+            "T_lc": T_lc,
+            "loop_info": loop_info,
+            "odom_i": odom_i,
+            "odom_j": odom_j,
+            "accum": float(snap["kf_accum"][k]),
+            "epoch": snap["epoch"],
+        }
+
+    def _add_loop_edge(self, g, det: dict):
+        """Graph with det's loop edge written into the next free slot, or
+        None when loop capacity is exhausted."""
         ln = int(np.asarray(jnp.sum(g.loop_mask)))
         if ln >= g.loop_i.shape[0]:
-            return False
-        # information from registration fitness between the matched clouds
-        # (loop_detector.cpp:314: calc_information_matrix(cure, prev, T_lc))
-        loop_info = self._edge_info(
-            cl.xyz, cl.mask, cand_xyz, cand_mask, lie.se3_inverse(T_lc)
-        )
-        st.graph = dataclasses.replace(
+            return None
+        T_lc = det["T_lc"]
+        return dataclasses.replace(
             g,
-            loop_i=g.loop_i.at[ln].set(idx),
-            loop_j=g.loop_j.at[ln].set(k),
+            loop_i=g.loop_i.at[ln].set(det["idx"]),
+            loop_j=g.loop_j.at[ln].set(det["k"]),
             loop_rel_R=g.loop_rel_R.at[ln].set(T_lc[:3, :3]),
             loop_rel_p=g.loop_rel_p.at[ln].set(T_lc[:3, 3]),
-            loop_info=g.loop_info.at[ln].set(loop_info),
+            loop_info=g.loop_info.at[ln].set(det["loop_info"]),
             loop_mask=g.loop_mask.at[ln].set(True),
         )
-        st.last_loop_accum = accum
-        st.prev_loop = {"odom_i": odom_i, "odom_j": odom_j, "T_lc": T_lc}
-        # re-optimize the global graph
-        with self.timers.time("graph_opt"):
-            st.graph, chi2 = self._solve_graph(st.graph)
+
+    def _accept_loop(self, det: dict, solved) -> bool:
+        """Commit an accepted loop to the LIVE graph: add the edge, update
+        the gating memory, then either re-optimize in place (sync mode,
+        solved=None) or merge the worker's pre-solved poses (async mode) —
+        keyframes the worker saw take its estimates, keyframes inserted
+        since re-chain their raw odometry deltas onto them."""
+        st = self.state
+        g2 = self._add_loop_edge(st.graph, det)
+        if g2 is None:
+            return False
+        st.graph = g2
+        st.last_loop_accum = det["accum"]
+        st.prev_loop = {
+            "odom_i": det["odom_i"], "odom_j": det["odom_j"], "T_lc": det["T_lc"]
+        }
+        if solved is None:
+            # re-optimize the global graph
+            with self.timers.time("graph_opt"):
+                st.graph, chi2 = self._solve_graph(st.graph)
+        else:
+            mR, mp = self._merge_chain(
+                st.graph.R, st.graph.p, solved[0], solved[1],
+                st.graph.odom_rel_R, st.graph.odom_rel_p,
+                jnp.asarray(det["k"]), jnp.asarray(st.kf_count),
+            )
+            st.graph = dataclasses.replace(st.graph, R=mR, p=mp)
         st.gps_kf_since_solve = 0
         return True
+
+    # ---- async loop-closure worker -------------------------------------
+    def _submit_loop_job(self, snap: dict) -> None:
+        """Queue a detection job; at most one in flight. When the worker is
+        still busy the keyframe goes undetected — the same behavior as a
+        reference timer tick that arrives before the previous one finished."""
+        if self._loop_busy:
+            self._loop_skipped += 1
+            return
+        if self._loop_thread is None:
+            import queue
+
+            self._loop_queue = queue.Queue()
+            self._loop_thread = threading.Thread(
+                target=self._loop_worker, name="loop-closure", daemon=True
+            )
+            self._loop_thread.start()
+        self._loop_busy = True
+        self._loop_queue.put(snap)
+
+    def _loop_worker(self) -> None:
+        """Background thread: detection + (on accept) the global solve on the
+        job's snapshot. JAX dispatch is thread-safe; all inputs are immutable
+        pytrees / copied lists, results are handed back for the main thread
+        to merge."""
+        while True:
+            snap = self._loop_queue.get()
+            if snap is None:
+                return
+            det, solved = None, None
+            try:
+                with self.timers.time("loop_detect_async"):
+                    det = self._run_loop_detection(snap)
+                if det is not None:
+                    g2 = self._add_loop_edge(snap["graph"], det)
+                    if g2 is None:
+                        det = None
+                    else:
+                        with self.timers.time("graph_opt_async"):
+                            gs, _ = self._solve_graph(g2)
+                            solved = (gs.R, gs.p)
+            except BaseException as e:  # surfaced on the main thread
+                self._loop_error = e
+                det, solved = None, None
+            with self._loop_lock:
+                self._loop_results.append({"det": det, "solved": solved})
+
+    def _apply_pending_loops(self) -> bool:
+        """Main-thread merge of finished async detections; no-op in sync
+        mode or while the worker is still running. Re-raises any worker
+        exception here instead of losing it."""
+        if self._loop_thread is None:
+            return False
+        if self._loop_error is not None:
+            err, self._loop_error = self._loop_error, None
+            raise err
+        with self._loop_lock:
+            results, self._loop_results = self._loop_results, []
+        applied = False
+        for r in results:
+            self._loop_busy = False
+            det = r["det"]
+            if det is not None and det["epoch"] == self.state.compact_epoch:
+                applied = self._accept_loop(det, solved=r["solved"]) or applied
+        return applied
+
+    def drain_loops(self, poll_s: float = 0.002) -> bool:
+        """Block until the async worker is idle and every finished detection
+        is merged; returns True if any loop was applied. Draining after every
+        frame reproduces the synchronous path bit-exactly (tested)."""
+        import time as _time
+
+        applied = False
+        while True:
+            applied = self._apply_pending_loops() or applied
+            if not self._loop_busy:
+                return applied
+            _time.sleep(poll_s)
+
+    def close(self) -> None:
+        """Stop the async worker thread (it is a daemon; calling this is
+        optional). Pending finished results stay mergeable via
+        `_apply_pending_loops` / `drain_loops`."""
+        if self._loop_thread is not None:
+            self._loop_queue.put(None)
+            self._loop_thread.join(timeout=10.0)
+            self._loop_thread = None
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:
         """Re-optimize the global graph over the final keyframe set (the
         reference exposes the same capability through its dump/optimize
         services). No-op when the graph has no information beyond the
-        odometry chain (no loops and no GPS priors)."""
+        odometry chain (no loops and no GPS priors). Drains the async loop
+        worker first so in-flight detections are not lost."""
+        self.drain_loops()
         st = self.state
         if st.graph is None or not (
             bool(np.asarray(st.graph.loop_mask).any())
