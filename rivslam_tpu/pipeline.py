@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import types
 from functools import partial
 
 import jax
@@ -106,6 +107,15 @@ class EngineState:
     # from before a compaction carry stale node indices and are dropped
 
 
+# Jitted stage programs shared across Engine instances, keyed by the
+# (hashable, frozen) EngineConfig: a fresh Engine with an already-seen
+# config binds the SAME traced functions, so it pays zero re-trace /
+# re-compile — new sessions, A/B reruns, and multi-sequence drivers start
+# warm. Entries hold only closures over the config (no device state); the
+# per-config count in a process is tiny, so the cache is unbounded.
+_PROGRAM_CACHE: dict[EngineConfig, types.SimpleNamespace] = {}
+
+
 @partial(jax.jit, static_argnames="n")
 def _split_chain(key, n: int):
     """(key, k1) = split(key) applied n times, in one dispatch. Returns the
@@ -128,190 +138,206 @@ class Engine:
         self.timers = StageTimers()
         self.state = EngineState()
         c = cfg
+        prog = _PROGRAM_CACHE.get(cfg)
+        if prog is None:
 
-        @jax.jit
-        def _preprocess(cloud: RadarCloud, ang_vel, key, prev_floor):
-            cl = filters.nan_filter(cloud)
-            cl = filters.power_filter(cl, c.preprocess.power_threshold)
-            ego = reve.estimate_ego_velocity(cl, c.reve, key)
-            # dynamic objects = radius-filtered RANSAC outliers
-            # (preprocessing_nodelet.cpp:766-774); also removed from the
-            # static cloud when enabled
-            dynamic_mask = cl.mask & ~ego.inlier_mask & ego.success
-            if c.preprocess.enable_dynamic_object_removal:
-                cl = cl.and_mask(ego.inlier_mask | ~ego.success)
-            if c.preprocess.enable_deskew:
-                cl = deskew.deskew(cl, ang_vel, scan_period=c.preprocess.scan_period)
-            if c.preprocess.use_distance_filter:
-                cl = filters.distance_filter(cl, c.preprocess)
-            if c.preprocess.outlier_removal_method == "RADIUS":
-                cl = filters.radius_outlier_removal(
-                    cl, c.preprocess.radius_radius, c.preprocess.radius_min_neighbors
+            @jax.jit
+            def _preprocess(cloud: RadarCloud, ang_vel, key, prev_floor):
+                cl = filters.nan_filter(cloud)
+                cl = filters.power_filter(cl, c.preprocess.power_threshold)
+                ego = reve.estimate_ego_velocity(cl, c.reve, key)
+                # dynamic objects = radius-filtered RANSAC outliers
+                # (preprocessing_nodelet.cpp:766-774); also removed from the
+                # static cloud when enabled
+                dynamic_mask = cl.mask & ~ego.inlier_mask & ego.success
+                if c.preprocess.enable_dynamic_object_removal:
+                    cl = cl.and_mask(ego.inlier_mask | ~ego.success)
+                if c.preprocess.enable_deskew:
+                    cl = deskew.deskew(cl, ang_vel, scan_period=c.preprocess.scan_period)
+                if c.preprocess.use_distance_filter:
+                    cl = filters.distance_filter(cl, c.preprocess)
+                if c.preprocess.outlier_removal_method == "RADIUS":
+                    cl = filters.radius_outlier_removal(
+                        cl, c.preprocess.radius_radius, c.preprocess.radius_min_neighbors
+                    )
+                elif c.preprocess.outlier_removal_method == "STATISTICAL":
+                    cl = filters.statistical_outlier_removal(
+                        cl, c.preprocess.statistical_mean_k, c.preprocess.statistical_stddev
+                    )
+                elif c.preprocess.outlier_removal_method == "BILATERAL":
+                    cl = filters.bilateral_filter(
+                        cl, c.preprocess.bilateral_sigma_s, c.preprocess.bilateral_sigma_r
+                    )
+                fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
+                # floor fallback chain (floor_detection_nodelet.cpp:100-130):
+                # detected -> previous -> initial plane; under-floor removal
+                # clips the odometry input against it (+tolerance margin)
+                eff_floor = jnp.where(fl.found, fl.coeffs, prev_floor)
+                if c.preprocess.enable_under_floor_removal:
+                    sd = cl.xyz @ eff_floor[:3] + eff_floor[3] + c.floor.floor_tolerance
+                    cl = cl.and_mask(sd > 0)
+                prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
+                return cl, ego, prepared, fl, dynamic_mask, eff_floor
+
+            @jax.jit
+            def _odometry(odo_state, prepared, ego_v, t):
+                return odometry.step(odo_state, prepared, ego_v, t, c.odometry, c.registration)
+
+            @jax.jit
+            def _backend(bk_state, frame):
+                return slam.backend_step(bk_state, frame, c.backend, c.imu)
+
+            @jax.jit
+            def _sc_insert(db, xyz, intensity, mask):
+                return scancontext.insert(db, scancontext.make_descriptor(xyz, intensity, mask, c.loop))
+
+            @jax.jit
+            def _sc_match(db, xyz, intensity, mask, qidx, cand_mask):
+                d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
+                return scancontext.match(db, d, qidx, cand_mask, c.loop)
+
+            @jax.jit
+            def _verify(new_xyz, new_mask, cand_xyz, cand_mask, yaw_guess):
+                return detector.verify_loop(
+                    new_xyz, new_mask, cand_xyz, cand_mask, c.registration, c.loop,
+                    yaw_guess=yaw_guess,
                 )
-            elif c.preprocess.outlier_removal_method == "STATISTICAL":
-                cl = filters.statistical_outlier_removal(
-                    cl, c.preprocess.statistical_mean_k, c.preprocess.statistical_stddev
+
+            @jax.jit
+            def _sc_match_topk(db, xyz, intensity, mask, qidx, cand_mask):
+                d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
+                return scancontext.match_topk(
+                    db, d, qidx, cand_mask, c.loop, c.loop.verify_candidates
                 )
-            elif c.preprocess.outlier_removal_method == "BILATERAL":
-                cl = filters.bilateral_filter(
-                    cl, c.preprocess.bilateral_sigma_s, c.preprocess.bilateral_sigma_r
+
+            @jax.jit
+            def _verify_batch(new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid):
+                return detector.verify_loops_batch(
+                    new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid,
+                    c.registration, c.loop,
                 )
-            fl = floor.detect_floor(cl.xyz, cl.mask, c.floor, key)
-            # floor fallback chain (floor_detection_nodelet.cpp:100-130):
-            # detected -> previous -> initial plane; under-floor removal
-            # clips the odometry input against it (+tolerance margin)
-            eff_floor = jnp.where(fl.found, fl.coeffs, prev_floor)
-            if c.preprocess.enable_under_floor_removal:
-                sd = cl.xyz @ eff_floor[:3] + eff_floor[3] + c.floor.floor_tolerance
-                cl = cl.and_mask(sd > 0)
-            prepared = apdgicp.prepare(cl.xyz, cl.mask, c.registration)
-            return cl, ego, prepared, fl, dynamic_mask, eff_floor
 
-        @jax.jit
-        def _odometry(odo_state, prepared, ego_v, t):
-            return odometry.step(odo_state, prepared, ego_v, t, c.odometry, c.registration)
+            @jax.jit
+            def _solve_graph(g):
+                if c.loop.global_solver == "SCHUR":
+                    from rivslam_tpu.loop import block_schur
 
-        @jax.jit
-        def _backend(bk_state, frame):
-            return slam.backend_step(bk_state, frame, c.backend, c.imu)
+                    return block_schur.solve_pose_graph_schur(
+                        g, num_blocks=c.loop.schur_blocks
+                    )
+                return global_graph.solve_pose_graph(g)
 
-        @jax.jit
-        def _sc_insert(db, xyz, intensity, mask):
-            return scancontext.insert(db, scancontext.make_descriptor(xyz, intensity, mask, c.loop))
+            @jax.jit
+            def _merge_chain(live_R, live_p, solved_R, solved_p, rel_R, rel_p, k_snap, count):
+                """Merge an async worker's solved pose set into the live graph:
+                nodes <= k_snap take the worker's estimates; keyframes inserted
+                since the snapshot re-chain their raw odometry deltas onto them
+                (the trans_odom2map retarget, radar_graph_slam_nodelet.cpp:222-247
+                applied at merge time); slots >= count keep their live values."""
+                K = live_R.shape[0]
+                eye3 = jnp.eye(3, dtype=live_R.dtype)
 
-        @jax.jit
-        def _sc_match(db, xyz, intensity, mask, qidx, cand_mask):
-            d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
-            return scancontext.match(db, d, qidx, cand_mask, c.loop)
+                def body(carry, i):
+                    Rp, pp = carry
+                    chain_R = Rp @ rel_R[i]
+                    chain_p = Rp @ rel_p[i] + pp
+                    use_solved = i <= k_snap
+                    R_i = jnp.where(use_solved, solved_R[i], chain_R)
+                    p_i = jnp.where(use_solved, solved_p[i], chain_p)
+                    dead = i >= count
+                    R_i = jnp.where(dead, live_R[i], R_i)
+                    p_i = jnp.where(dead, live_p[i], p_i)
+                    return (R_i, p_i), (R_i, p_i)
 
-        @jax.jit
-        def _verify(new_xyz, new_mask, cand_xyz, cand_mask, yaw_guess):
-            return detector.verify_loop(
-                new_xyz, new_mask, cand_xyz, cand_mask, c.registration, c.loop,
-                yaw_guess=yaw_guess,
-            )
-
-        @jax.jit
-        def _sc_match_topk(db, xyz, intensity, mask, qidx, cand_mask):
-            d = scancontext.make_descriptor(xyz, intensity, mask, c.loop)
-            return scancontext.match_topk(
-                db, d, qidx, cand_mask, c.loop, c.loop.verify_candidates
-            )
-
-        @jax.jit
-        def _verify_batch(new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid):
-            return detector.verify_loops_batch(
-                new_xyz, new_mask, cand_xyz, cand_masks, yaws, valid,
-                c.registration, c.loop,
-            )
-
-        @jax.jit
-        def _solve_graph(g):
-            if c.loop.global_solver == "SCHUR":
-                from rivslam_tpu.loop import block_schur
-
-                return block_schur.solve_pose_graph_schur(
-                    g, num_blocks=c.loop.schur_blocks
+                (_, _), (Rs, ps) = jax.lax.scan(
+                    body, (eye3, jnp.zeros(3, dtype=live_p.dtype)), jnp.arange(K)
                 )
-            return global_graph.solve_pose_graph(g)
+                return Rs, ps
 
-        @jax.jit
-        def _merge_chain(live_R, live_p, solved_R, solved_p, rel_R, rel_p, k_snap, count):
-            """Merge an async worker's solved pose set into the live graph:
-            nodes <= k_snap take the worker's estimates; keyframes inserted
-            since the snapshot re-chain their raw odometry deltas onto them
-            (the trans_odom2map retarget, radar_graph_slam_nodelet.cpp:222-247
-            applied at merge time); slots >= count keep their live values."""
-            K = live_R.shape[0]
-            eye3 = jnp.eye(3, dtype=live_R.dtype)
+            @jax.jit
+            def _edge_info(xyz1, mask1, xyz2, mask2, relpose):
+                from rivslam_tpu.factors import infomat
 
-            def body(carry, i):
-                Rp, pp = carry
-                chain_R = Rp @ rel_R[i]
-                chain_p = Rp @ rel_p[i] + pp
-                use_solved = i <= k_snap
-                R_i = jnp.where(use_solved, solved_R[i], chain_R)
-                p_i = jnp.where(use_solved, solved_p[i], chain_p)
-                dead = i >= count
-                R_i = jnp.where(dead, live_R[i], R_i)
-                p_i = jnp.where(dead, live_p[i], p_i)
-                return (R_i, p_i), (R_i, p_i)
-
-            (_, _), (Rs, ps) = jax.lax.scan(
-                body, (eye3, jnp.zeros(3, dtype=live_p.dtype)), jnp.arange(K)
-            )
-            return Rs, ps
-
-        @jax.jit
-        def _edge_info(xyz1, mask1, xyz2, mask2, relpose):
-            from rivslam_tpu.factors import infomat
-
-            return infomat.calc_information_matrix(
-                xyz1, mask1, xyz2, mask2, relpose, c.backend, scaled=False
-            )
-
-        @jax.jit
-        def _frame_step(odo_state, bk_state, cloud, ang_vel, stamp,
-                        imu_dts, imu_acc, imu_gyr, imu_mask, key, prev_floor):
-            """Fused per-frame path: preprocess -> odometry -> backend in ONE
-            dispatch (the nodelet pipeline collapsed into a single XLA
-            program; one host round trip per frame instead of four)."""
-            cl, ego, prepared, fl, dynamic_mask, eff_floor = _preprocess(
-                cloud, ang_vel, key, prev_floor
-            )
-            # IMU roll/pitch for the loose complementary fusion: gravity
-            # direction from the frame's accelerometer batch (the reference
-            # reads its AHRS orientation stream, scan_matching_odometry_
-            # nodelet.cpp:298-322; the redesign derives it from raw samples)
-            imu_kw: dict = {}
-            if c.odometry.enable_imu_fusion:
-                w = imu_mask.astype(imu_acc.dtype)
-                acc_mean = (imu_acc * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
-                roll, pitch = odometry.roll_pitch_from_gravity(acc_mean)
-                imu_kw = dict(
-                    imu_roll=roll, imu_pitch=pitch, imu_valid=imu_mask.any()
+                return infomat.calc_information_matrix(
+                    xyz1, mask1, xyz2, mask2, relpose, c.backend, scaled=False
                 )
-            if c.odometry.enable_scan_to_map:
-                odo_state, oout = scan2map.step(
-                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
-                    **imu_kw,
-                )
-            else:
-                odo_state, oout = odometry.step(
-                    odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
-                    **imu_kw,
-                )
-            frame = slam.BackendFrame(
-                stamp=stamp,
-                odom_R=oout.odom[:3, :3],
-                odom_p=oout.odom[:3, 3],
-                xyz=cl.xyz,
-                mask=cl.mask,
-                ego_vel=ego.v,
-                ego_vel_cov=ego.sigma**2,
-                imu_dts=imu_dts,
-                imu_acc=imu_acc,
-                imu_gyr=imu_gyr,
-                imu_mask=imu_mask,
-                floor=fl.coeffs,
-                floor_valid=fl.found,
-            )
-            bk_state, bout = slam.backend_step(bk_state, frame, c.backend, c.imu)
-            return odo_state, bk_state, cl, ego, fl, dynamic_mask, oout, bout, eff_floor
 
-        self._preprocess = _preprocess
-        self._odometry = _odometry
-        self._backend = _backend
-        self._frame_step = _frame_step
-        self._sc_insert = _sc_insert
-        self._sc_match = _sc_match
-        self._sc_match_topk = _sc_match_topk
-        self._verify = _verify
-        self._verify_batch = _verify_batch
-        self._solve_graph = _solve_graph
-        self._edge_info = _edge_info
-        self._merge_chain = _merge_chain
-        self._replay_fn = None  # built lazily by _build_replay_fn
+            @jax.jit
+            def _frame_step(odo_state, bk_state, cloud, ang_vel, stamp,
+                            imu_dts, imu_acc, imu_gyr, imu_mask, key, prev_floor):
+                """Fused per-frame path: preprocess -> odometry -> backend in ONE
+                dispatch (the nodelet pipeline collapsed into a single XLA
+                program; one host round trip per frame instead of four)."""
+                cl, ego, prepared, fl, dynamic_mask, eff_floor = _preprocess(
+                    cloud, ang_vel, key, prev_floor
+                )
+                # IMU roll/pitch for the loose complementary fusion: gravity
+                # direction from the frame's accelerometer batch (the reference
+                # reads its AHRS orientation stream, scan_matching_odometry_
+                # nodelet.cpp:298-322; the redesign derives it from raw samples)
+                imu_kw: dict = {}
+                if c.odometry.enable_imu_fusion:
+                    w = imu_mask.astype(imu_acc.dtype)
+                    acc_mean = (imu_acc * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+                    roll, pitch = odometry.roll_pitch_from_gravity(acc_mean)
+                    imu_kw = dict(
+                        imu_roll=roll, imu_pitch=pitch, imu_valid=imu_mask.any()
+                    )
+                if c.odometry.enable_scan_to_map:
+                    odo_state, oout = scan2map.step(
+                        odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
+                        **imu_kw,
+                    )
+                else:
+                    odo_state, oout = odometry.step(
+                        odo_state, prepared, ego.v, stamp, c.odometry, c.registration,
+                        **imu_kw,
+                    )
+                frame = slam.BackendFrame(
+                    stamp=stamp,
+                    odom_R=oout.odom[:3, :3],
+                    odom_p=oout.odom[:3, 3],
+                    xyz=cl.xyz,
+                    mask=cl.mask,
+                    ego_vel=ego.v,
+                    ego_vel_cov=ego.sigma**2,
+                    imu_dts=imu_dts,
+                    imu_acc=imu_acc,
+                    imu_gyr=imu_gyr,
+                    imu_mask=imu_mask,
+                    floor=fl.coeffs,
+                    floor_valid=fl.found,
+                )
+                bk_state, bout = slam.backend_step(bk_state, frame, c.backend, c.imu)
+                return odo_state, bk_state, cl, ego, fl, dynamic_mask, oout, bout, eff_floor
+
+            prog = types.SimpleNamespace(
+                preprocess=_preprocess, odometry=_odometry, backend=_backend,
+                frame_step=_frame_step, sc_insert=_sc_insert,
+                sc_match=_sc_match, sc_match_topk=_sc_match_topk,
+                verify=_verify, verify_batch=_verify_batch,
+                solve_graph=_solve_graph, edge_info=_edge_info,
+                merge_chain=_merge_chain,
+                replay={},  # dtype name -> (replay_fn, jitted scan)
+                fleet={},  # (dtype, B, F, cap, mesh id) -> jitted fleet fn
+                lock=threading.Lock(),  # guards lazy replay/fleet builds
+            )
+            _PROGRAM_CACHE[cfg] = prog
+
+        self._prog = prog
+        self._preprocess = prog.preprocess
+        self._odometry = prog.odometry
+        self._backend = prog.backend
+        self._frame_step = prog.frame_step
+        self._sc_insert = prog.sc_insert
+        self._sc_match = prog.sc_match
+        self._sc_match_topk = prog.sc_match_topk
+        self._verify = prog.verify
+        self._verify_batch = prog.verify_batch
+        self._solve_graph = prog.solve_graph
+        self._edge_info = prog.edge_info
+        self._merge_chain = prog.merge_chain
+        self._replay_fn = None  # bound lazily by _build_replay_fn
         self._replay_scan = None  # jitted single-sequence replay
         # async loop-closure worker (LoopConfig.async_loop): one job in
         # flight, results merged on the main thread at the next frame
@@ -323,7 +349,6 @@ class Engine:
         self._loop_skipped = 0  # keyframes whose detection was skipped
         # because the worker was still busy (= reference timer overrun)
         self._loop_error: BaseException | None = None
-        self._fleet_cache: dict = {}  # jitted vmapped fleet replay
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -469,8 +494,6 @@ class Engine:
         self.key, keys = _split_chain(self.key, F)
 
         self._build_replay_fn()
-        if self._replay_scan is None:
-            self._replay_scan = jax.jit(self._replay_fn)
         out = self._replay_scan(clouds, ang_vel, stamps, *imu, keys)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -511,6 +534,12 @@ class Engine:
 
     def _build_replay_fn(self) -> None:
         if self._replay_fn is not None:
+            return
+        key = jnp.dtype(self.dtype).name
+        with self._prog.lock:
+            cached = self._prog.replay.get(key)
+        if cached is not None:
+            self._replay_fn, self._replay_scan = cached
             return
         c = self.cfg
         dt_ = self.dtype
@@ -575,6 +604,9 @@ class Engine:
             )
 
         self._replay_fn = _replay
+        self._replay_scan = jax.jit(_replay)
+        with self._prog.lock:
+            self._prog.replay[key] = (self._replay_fn, self._replay_scan)
 
     def replay_fleet(self, stacked: dict, mesh=None, axis: str = "data") -> dict:
         """Data-parallel fleet replay: B independent sequences, each the full
@@ -598,8 +630,15 @@ class Engine:
         keys = jax.vmap(lambda k: _split_chain(k, F)[1])(seq_keys)
 
         self._build_replay_fn()
-        cache_key = (B, F, stacked["xyz"].shape[-2], id(mesh))
-        if self._fleet_cache.get("key") != cache_key:
+        # jax.sharding.Mesh is hashable; keying on the mesh itself (not its
+        # id) keeps the shared cache correct if a mesh is rebuilt
+        cache_key = (
+            jnp.dtype(self.dtype).name, B, F, stacked["xyz"].shape[-2],
+            mesh, axis,
+        )
+        with self._prog.lock:
+            fn = self._prog.fleet.get(cache_key)
+        if fn is None:
             fn = jax.vmap(self._replay_fn)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -610,9 +649,10 @@ class Engine:
                 fn = jax.jit(fn, in_shardings=batch_sh, out_shardings=batch_sh)
             else:
                 fn = jax.jit(fn)
-            self._fleet_cache = {"key": cache_key, "fn": fn}
+            with self._prog.lock:
+                self._prog.fleet[cache_key] = fn
         clouds, ang_vel, stamps, imu = inputs
-        out = self._fleet_cache["fn"](clouds, ang_vel, stamps, *imu, keys)
+        out = fn(clouds, ang_vel, stamps, *imu, keys)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _compact_keyframes(self) -> None:
