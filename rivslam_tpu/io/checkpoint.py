@@ -64,6 +64,12 @@ def dump(engine, directory: str) -> None:
     if st.graph is not None:
         _save_pytree(os.path.join(directory, "graph.npz"), st.graph)
         _save_pytree(os.path.join(directory, "scdb.npz"), st.scdb)
+        # interop sidecar: the same graph as standard g2o text (+ robust
+        # kernel file), loadable by external g2o tooling — the reference's
+        # DumpGraph output format (graph_slam.cpp:512-538)
+        from rivslam_tpu.io import g2o_io
+
+        g2o_io.export_g2o(st.graph, os.path.join(directory, "graph.g2o"))
     if st.kf_clouds:
         np.savez(
             os.path.join(directory, "keyframes.npz"),
