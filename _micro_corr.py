@@ -1,0 +1,79 @@
+"""Microbench: correspondence step XLA vs pallas v2 at production shapes.
+
+Chains ROUNDS dependent evaluations in one lax.scan dispatch (the axon relay
+acks block_until_ready early and dedupes identical dispatches — see
+BENCHMARKS.md methodology)."""
+import time
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rivslam_tpu.ops import pallas_nn
+
+B, N, M, F = 256, 1024, 1024, 9
+ROUNDS = 50
+rng = np.random.default_rng(0)
+q0 = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 10)
+r = jnp.asarray(rng.normal(size=(B, M, 3)).astype(np.float32) * 10)
+mask = jnp.asarray(rng.uniform(size=(B, M)) > 0.1)
+featsT = jnp.asarray(rng.normal(size=(B, F, M)).astype(np.float32))
+feats = jnp.swapaxes(featsT, 1, 2)
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def xla_step(q):
+    SENT = 1e5
+    rs = jnp.where(mask[:, :, None], r, SENT)
+    tn2 = jnp.sum(rs * rs, axis=2)
+    qn2 = jnp.sum(q * q, axis=2)
+    cross = jnp.einsum("bnc,bmc->bnm", q, rs, precision=HIGH)
+    d2 = qn2[:, :, None] + tn2[:, None, :] - 2.0 * cross
+    idx = jnp.argmin(d2, axis=2).astype(jnp.int32)
+    best = jnp.min(d2, axis=2)
+    onehot = (jnp.arange(M)[None, None, :] == idx[:, :, None]).astype(jnp.float32)
+    g = jnp.einsum("bnm,bmf->bnf", onehot, feats, precision=HIGH)
+    return best, g[:, :, :3]
+
+
+def pallas_step(q):
+    f = jax.vmap(lambda a: pallas_nn.fused_gather_pallas(a, r[0] * 0 + a * 0 + 1, mask[0], featsT[0]))
+    return None
+
+
+def chain(step3):
+    def body(q, _):
+        best, g3 = step3(q)
+        q2 = q + 1e-6 * g3 + 1e-9 * best[:, :, None]
+        return q2, ()
+    def run(q):
+        qf, _ = jax.lax.scan(body, q, None, length=ROUNDS)
+        return qf
+    return jax.jit(run)
+
+
+def pallas_step3(q):
+    def one(qi, ri, mi, fi):
+        d2, g = pallas_nn.fused_gather_pallas(qi, ri, mi, fi)
+        return d2, g
+    d2, g = jax.vmap(one)(q, r, mask, featsT)  # g: [B, F, N]
+    return d2, jnp.swapaxes(g[:, :3, :], 1, 2)
+
+
+def timeit(fn, q, iters=3):
+    out = jax.block_until_ready(fn(q))
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(q))
+        best = min(best, time.perf_counter() - t0)
+    return best / ROUNDS, out
+
+
+cx = chain(xla_step)
+cp = chain(pallas_step3)
+dt_x, ox = timeit(cx, q0)
+dt_p, op = timeit(cp, q0)
+print(f"xla:    {dt_x*1e3:.3f} ms/batch-round  ({dt_x/B*1e6:.2f} us/frame)")
+print(f"pallas: {dt_p*1e3:.3f} ms/batch-round  ({dt_p/B*1e6:.2f} us/frame)")
+print("chained outputs differ by:", float(jnp.abs(ox - op).max()))

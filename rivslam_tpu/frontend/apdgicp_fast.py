@@ -206,6 +206,8 @@ def register_fast(
     # gathers are slow on TPU; selecting the matched target's coordinates and
     # covariance components via onehot @ features rides the MXU instead.
     tgt_feats = jnp.stack([tx_, ty_, tz_] + list(t_c), axis=1)  # [M, 9]
+    # transposed [9, M] layout for the fused Pallas kernel (lane dim = points)
+    tgt_feats_t = jnp.stack([tx_, ty_, tz_] + list(t_c), axis=0)
     m_idx = jnp.arange(target.xyz.shape[0], dtype=jnp.int32)
 
     # the fused Pallas kernel is compiled for real TPUs; everywhere else
@@ -221,12 +223,13 @@ def register_fast(
         if cfg.use_pallas_correspondence:
             from rivslam_tpu.ops import pallas_nn
 
-            idx, best, gathered = pallas_nn.fused_correspondence_pallas(
-                p, tgt_sent, target.mask, tgt_feats,
+            best, g_t = pallas_nn.fused_gather_pallas(
+                p, tgt_sent, target.mask, tgt_feats_t,
                 interpret=pallas_interpret,
             )
+            idx = jnp.zeros((N,), jnp.int32)  # not needed downstream
             best = best.astype(dtype)
-            gathered = gathered.astype(dtype)
+            gathered = g_t.T.astype(dtype)
             corr = source.mask & (best < cfg.max_correspondence_distance**2)
             w = corr.astype(dtype)
         else:

@@ -173,6 +173,119 @@ def fused_correspondence_pallas(
     return idx[0, :n], d2[0, :n], g[:n, :f]
 
 
+TILE_M_GATHER = 1024
+
+
+def _gather_kernel(q_ref, r_ref, rmask_ref, featsT_ref, d2_ref, g_ref):
+    """v2 fused correspondence: running-min NN + equality-matmul gather.
+
+    Redesign of _corr_kernel driven by a hardware A/B (BENCHMARKS.md): the
+    in-kernel `argmin` (a cross-lane iota/select tree per tile) and the
+    128-lane-padded [M, F] feature operand made v1 LOSE to XLA at production
+    sizes. v2 instead:
+      - reduces only `min` per tile (single cheap tree),
+      - gathers via an equality mask (d2 == rowmin) contracted with features
+        kept TRANSPOSED [F, M] — lane dim = point axis, so the DMA moves F
+        sublanes instead of 128 padded lanes (~14x less feature traffic),
+      - emits gathered features transposed [F, N] straight out of the MXU
+        (dot_general contracting both operands' lane dims), which is also
+        the layout the SoA consumer wants.
+    Ties (several targets at the exact same f32 distance) are AVERAGED via
+    the count normalization instead of argmin's first-index pick; the
+    reference's kd-tree pick among exact ties is arbitrary anyway.
+    """
+    q = q_ref[:]  # [3, TQ]
+    qn = jnp.sum(q * q, axis=0)  # [TQ]
+    m_total = r_ref.shape[1]
+    num_m = m_total // TILE_M_GATHER
+    F = featsT_ref.shape[0]
+    TQ = q.shape[1]
+
+    def body(j, carry):
+        best, g, cnt = carry  # [TQ], [F, TQ], [TQ]
+        r = r_ref[:, pl.ds(j * TILE_M_GATHER, TILE_M_GATHER)]  # [3, TM]
+        rmask = rmask_ref[0, pl.ds(j * TILE_M_GATHER, TILE_M_GATHER)]  # [TM]
+        featsT = featsT_ref[:, pl.ds(j * TILE_M_GATHER, TILE_M_GATHER)]  # [F, TM]
+        rn = jnp.sum(r * r, axis=0)  # [TM]
+        cross = jax.lax.dot_general(
+            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, TM]
+        d2 = qn[:, None] + rn[None, :] - 2.0 * cross
+        d2 = jnp.where(rmask[None, :] > 0.5, d2, BIG)
+        tmin = jnp.min(d2, axis=1)  # [TQ]
+        valid = tmin < 0.5 * BIG
+        eq = (
+            (d2 <= tmin[:, None]) & (rmask[None, :] > 0.5) & valid[:, None]
+        ).astype(jnp.float32)  # [TQ, TM]
+        gt = jax.lax.dot_general(
+            featsT, eq, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F, TQ]
+        ct = jnp.sum(eq, axis=1)  # [TQ]
+        lt = tmin < best
+        tie = (tmin == best) & valid
+        g = jnp.where(lt[None, :], gt, g + jnp.where(tie[None, :], gt, 0.0))
+        cnt = jnp.where(lt, ct, cnt + jnp.where(tie, ct, 0.0))
+        best = jnp.minimum(best, tmin)
+        return best, g, cnt
+
+    init = (
+        jnp.full((TQ,), BIG, dtype=jnp.float32),
+        jnp.zeros((F, TQ), dtype=jnp.float32),
+        jnp.zeros((TQ,), dtype=jnp.float32),
+    )
+    best, g, cnt = jax.lax.fori_loop(0, num_m, body, init)
+    d2_ref[0, :] = best
+    g_ref[:, :] = g / jnp.maximum(cnt, 1.0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_gather_pallas(
+    query: jax.Array,  # [N, 3] f32 (already transformed source points)
+    ref: jax.Array,  # [M, 3] f32
+    ref_mask: jax.Array,  # [M] bool
+    ref_feats_t: jax.Array,  # [F, M] per-target features, TRANSPOSED
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact masked 1-NN distance + tie-averaged feature gather.
+
+    Returns (d2 [N], gathered [F, N]). Rows with no valid reference get
+    d2 >= BIG and zero features (callers gate on the correspondence-distance
+    threshold, so both conventions are inert downstream).
+    """
+    n = query.shape[0]
+    f = ref_feats_t.shape[0]
+    q_t = _pad_to(query.astype(jnp.float32).T, TILE_Q, axis=1)  # [3, Np]
+    r_t = _pad_to(ref.astype(jnp.float32).T, TILE_M_GATHER, axis=1)  # [3, Mp]
+    rm = _pad_to(ref_mask.astype(jnp.float32)[None, :], TILE_M_GATHER, axis=1)
+    fp = _pad_to(ref_feats_t.astype(jnp.float32), TILE_M_GATHER, axis=1)  # [F, Mp]
+    npad = q_t.shape[1]
+    mpad = r_t.shape[1]
+
+    grid = (npad // TILE_Q,)
+    d2, g = pl.pallas_call(
+        _gather_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((f, npad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, r_t, rm, fp)
+    return d2[0, :n], g[:, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbor_pallas(
     query: jax.Array,  # [N, 3] f32

@@ -93,3 +93,47 @@ def test_registration_with_pallas_flag_matches_xla(rng):
     # argmin tie order)
     assert np.abs(np.asarray(r1.T) - np.asarray(r0.T)).max() < 1e-3
     assert int(r0.num_correspondences) == int(r1.num_correspondences)
+
+
+def test_fused_gather_v2_matches_reference(rng):
+    """fused_gather_pallas (v2: min + equality-matmul gather, transposed
+    feature layout) matches argmin + fancy-index gather away from ties."""
+    q = rng.normal(size=(300, 3)).astype(np.float32) * 10
+    r = rng.normal(size=(700, 3)).astype(np.float32) * 10
+    mask = rng.uniform(size=700) > 0.15
+    feats = rng.normal(size=(9, 700)).astype(np.float32)
+    d2, g = pallas_nn.fused_gather_pallas(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(mask),
+        jnp.asarray(feats), interpret=True,
+    )
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    D[:, ~mask] = np.inf
+    ref_idx = D.argmin(1)
+    np.testing.assert_allclose(np.asarray(d2), D.min(1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), feats[:, ref_idx], rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gather_v2_ties_average(rng):
+    """Exact-tie targets are averaged (documented divergence from argmin's
+    first-index pick)."""
+    q = np.zeros((1, 3), np.float32)
+    r = np.array([[1.0, 0, 0], [-1.0, 0, 0], [5, 5, 5]], np.float32)
+    feats = np.array([[10.0, 20.0, 99.0]], np.float32)  # [F=1, M=3]
+    d2, g = pallas_nn.fused_gather_pallas(
+        jnp.asarray(q), jnp.asarray(r), jnp.ones(3, bool),
+        jnp.asarray(feats), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(d2), [1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), [[15.0]], atol=1e-5)
+
+
+def test_fused_gather_v2_all_masked(rng):
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    r = rng.normal(size=(128, 3)).astype(np.float32)
+    feats = rng.normal(size=(5, 128)).astype(np.float32)
+    d2, g = pallas_nn.fused_gather_pallas(
+        jnp.asarray(q), jnp.asarray(r), jnp.zeros(128, bool),
+        jnp.asarray(feats), interpret=True,
+    )
+    assert (np.asarray(d2) > 1e29).all()
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
