@@ -47,8 +47,8 @@ import time
 
 import numpy as np
 
-BATCH = 256
-ROUNDS = 4
+BATCH = int(os.environ.get("RIVSLAM_BENCH_BATCH", "256"))
+ROUNDS = int(os.environ.get("RIVSLAM_BENCH_ROUNDS", "4"))
 CAPACITY = 1024
 
 # TPU v5e peak: 197 TFLOP/s bf16; f32 matmul issue rate is half.

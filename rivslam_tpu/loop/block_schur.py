@@ -34,18 +34,48 @@ from rivslam_tpu.factors import robust
 from rivslam_tpu.loop import global_graph as gg
 
 
+def _equilibrate(A, rhs):
+    """Jacobi scaling s = diag(A)^-1/2: solve (sAs)(x/s) = s·rhs. Makes the
+    factorization scale-free across the ~1e6+ dynamic range between
+    well-constrained blocks and Tikhonov-only slots."""
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    As = A * s[..., :, None] * s[..., None, :]
+    return As, rhs * s[..., :, None], s
+
+
 def _spd_solve(A, rhs):
-    """Cholesky solve for the SPD systems this solver produces (H_II' and
-    H_sep are PSD + positive diagonal by construction). jnp.linalg.solve
-    lowers to row-pivoted LU, which is serial and ~2.5x slower on the TPU's
-    MXU than the pivot-free Cholesky + two triangular solves."""
-    L = jnp.linalg.cholesky(A)
+    """Equilibrated Cholesky solve for the batched INTERIOR systems (H_II'
+    is a sum of PSD per-edge terms plus Tikhonov — no cancellation, so it
+    stays comfortably SPD in f32). jnp.linalg.solve lowers to row-pivoted
+    LU, which is serial and ~2.5x slower on the TPU's MXU than the
+    pivot-free Cholesky + two triangular solves."""
+    As, rs, s = _equilibrate(A, rhs)
+    L = jnp.linalg.cholesky(As)
     y = jax.lax.linalg.triangular_solve(
-        L, rhs, left_side=True, lower=True, transpose_a=False
+        L, rs, left_side=True, lower=True, transpose_a=False
     )
-    return jax.lax.linalg.triangular_solve(
+    x = jax.lax.linalg.triangular_solve(
         L, y, left_side=True, lower=True, transpose_a=True
     )
+    return x * s[..., :, None]
+
+
+def _sep_solve(A, rhs):
+    """Equilibrated row-pivoted solve for the REDUCED separator system.
+
+    H_sep is assembled from per-block f32 Schur complements
+    (H_SS - H_IS^T H_II'^-1 H_IS) whose subtraction roundoff leaves it
+    slightly INDEFINITE at scale (measured min eig -1.7e-4 at K=512,
+    -4e-4 at K=2048, growing with block size) — an unpivoted Cholesky
+    produces NaN there, and covering the roundoff with a relative diagonal
+    shift is damping that measurably slows GN convergence. Pivoted LU is
+    indefinite-safe and solves the nearly-PSD system exactly; this is ONE
+    small [6(2S+2L+1)]^2 matrix per GN iteration, so the serial pivoting
+    cost is immaterial next to the batched interior eliminations (which
+    stay on the fast Cholesky path above)."""
+    As, rs, s = _equilibrate(A, rhs)
+    return jnp.linalg.solve(As, rs) * s[..., :, None]
 
 
 def _slot_of(node, B, S, num_loop_slots):
@@ -262,7 +292,7 @@ def _schur_impl(g, num_blocks, gn_iters, huber_delta):
 
         # inert dump slot + unused slots
         H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-        d_sep = _spd_solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
+        d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
         d_sep = d_sep.at[6 * P :].set(0.0)  # dump slot contributes nothing
 
         # ---- back-substitution per block
@@ -459,7 +489,7 @@ def solve_pose_graph_schur_sharded(
             H_sep = H_sep.at[:6, :6].add(g.anchor_info)
             g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
             H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-            d_sep = _spd_solve(H_sep, -g_sep[:, None])[:, 0]
+            d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
             d_sep = d_sep.at[6 * Pslots :].set(0.0)
 
             d_local = back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
