@@ -223,12 +223,13 @@ class BackendConfig:
     window_size: int = 6  # nodelet:380-387
     inertial_weight: float = 0.001
     solver_iterations: int = 512  # g2o_solver_num_iterations (we converge earlier)
-    max_solver_iterations: int = 12  # LM cap per window. Measured on live
+    max_solver_iterations: int = 8  # LM cap per window. Measured on live
     # windows: the pose of every frame is IDENTICAL to a 64-iteration budget
     # (the tail is an IRLS-reweighting crawl in weakly-constrained bias dims
     # - chi2 drifts ~0.15%/iteration with |step| ~3e-2 while the newest-frame
-    # pose is already converged); the validation matrix runs at 8. Raising
-    # the cap buys nothing but ~2.3x backend latency.
+    # pose is already converged); the validation matrix has always run at 8
+    # and the round-2 default of 12 measured identical poses — the cap is
+    # pure latency. Raising it buys nothing but backend latency.
     optimizer: str = "LM"  # LM (reference lm_var_cholmod) | GN (no inner
     # lambda search - fewer sequential device steps per frame; the window is
     # warm-started every frame so the undamped step converges identically on

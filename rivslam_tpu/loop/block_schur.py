@@ -14,9 +14,19 @@ Structure:
 - the reduced system (<= (2S + 2L) nodes) is solved densely; interiors
   back-substitute per block.
 
+Outer loop is a **dogleg trust region with accept/reject** — NOT pure
+Gauss-Newton. This is load-bearing: on capacity-scale cold graphs (K=512+)
+the exact Newton step is a huge rotation overshoot and pure GN
+oscillates/diverges (measured: chi2 0.05 at 8 iters -> 2e4 at 12, NaN
+later), while lambda-LM creeps (gain ratio ~0.5 pins lambda). Dogleg pays
+one elimination per linearization, retries radii cheaply, and recovers the
+exact-Newton endgame. Accepted-only steps are monotone by construction, so
+the local and sharded paths agree at any scale (the reference's g2o offers
+the same LM/dogleg algorithm choices over its solvers, graph_slam.cpp:75-96).
+
 The per-block elimination vmaps over blocks — the same axis maps to devices
-with shard_map for multi-host submap partitioning (TODO.md); contributions
-then combine by psum exactly like dist/dist_graph.py.
+with shard_map for multi-host submap partitioning; contributions then
+combine by psum exactly like dist/dist_graph.py.
 
 Cross-checked against the PCG solver (loop/global_graph.py) in tests.
 """
@@ -37,19 +47,23 @@ from rivslam_tpu.loop import global_graph as gg
 def _equilibrate(A, rhs):
     """Jacobi scaling s = diag(A)^-1/2: solve (sAs)(x/s) = s·rhs. Makes the
     factorization scale-free across the ~1e6+ dynamic range between
-    well-constrained blocks and Tikhonov-only slots."""
+    well-constrained blocks and Tikhonov-only slots. The floor is RELATIVE
+    to the matrix's own diagonal scale: an absolute floor (1e-30) turns a
+    roundoff-negative diagonal entry into s~1e15 and a catastrophically
+    mis-scaled row; abs+relative degrades those entries to ~unit scaling."""
     d = jnp.diagonal(A, axis1=-2, axis2=-1)
-    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    floor = 1e-12 * jnp.max(jnp.abs(d), axis=-1, keepdims=True) + 1e-30
+    s = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), floor))
     As = A * s[..., :, None] * s[..., None, :]
     return As, rhs * s[..., :, None], s
 
 
 def _spd_solve(A, rhs):
     """Equilibrated Cholesky solve for the batched INTERIOR systems (H_II'
-    is a sum of PSD per-edge terms plus Tikhonov — no cancellation, so it
-    stays comfortably SPD in f32). jnp.linalg.solve lowers to row-pivoted
-    LU, which is serial and ~2.5x slower on the TPU's MXU than the
-    pivot-free Cholesky + two triangular solves."""
+    is a sum of PSD per-edge terms plus Tikhonov + LM damping — no
+    cancellation, so it stays comfortably SPD in f32). jnp.linalg.solve
+    lowers to row-pivoted LU, which is serial and ~2.5x slower on the TPU's
+    MXU than the pivot-free Cholesky + two triangular solves."""
     As, rs, s = _equilibrate(A, rhs)
     L = jnp.linalg.cholesky(As)
     y = jax.lax.linalg.triangular_solve(
@@ -68,12 +82,10 @@ def _sep_solve(A, rhs):
     (H_SS - H_IS^T H_II'^-1 H_IS) whose subtraction roundoff leaves it
     slightly INDEFINITE at scale (measured min eig -1.7e-4 at K=512,
     -4e-4 at K=2048, growing with block size) — an unpivoted Cholesky
-    produces NaN there, and covering the roundoff with a relative diagonal
-    shift is damping that measurably slows GN convergence. Pivoted LU is
-    indefinite-safe and solves the nearly-PSD system exactly; this is ONE
-    small [6(2S+2L+1)]^2 matrix per GN iteration, so the serial pivoting
-    cost is immaterial next to the batched interior eliminations (which
-    stay on the fast Cholesky path above)."""
+    produces NaN there. Pivoted LU is indefinite-safe and solves the
+    nearly-PSD system exactly; this is ONE small [6(2S+2L+1)]^2 matrix per
+    LM iteration, so the serial pivoting cost is immaterial next to the
+    batched interior eliminations (which stay on the fast Cholesky path)."""
     As, rs, s = _equilibrate(A, rhs)
     return jnp.linalg.solve(As, rs) * s[..., :, None]
 
@@ -85,25 +97,6 @@ def _slot_of(node, B, S, num_loop_slots):
     lo = node % B == 0
     hi = node % B == B - 1
     return jnp.where(lo, 2 * blk, jnp.where(hi, 2 * blk + 1, -1))
-
-
-@partial(jax.jit, static_argnames=("num_blocks", "gn_iters", "huber_delta"))
-def solve_pose_graph_schur(
-    g: gg.PoseGraph,
-    num_blocks: int = 8,
-    gn_iters: int = 8,
-    huber_delta: float = 1.0,
-):
-    """Gauss-Newton with per-iteration block-Schur elimination.
-
-    Forces float32 matmul precision: TPU default (bfloat16 passes) makes the
-    interior-block inverse H_II^-1 and the reduced separator system blow up
-    to NaN on real graphs — elimination chains condition numbers in a way
-    the iterative PCG path tolerates but direct factorization does not.
-    """
-    num_blocks = effective_blocks(g.R.shape[0], num_blocks)
-    with jax.default_matmul_precision("float32"):
-        return _schur_impl(g, num_blocks, gn_iters, huber_delta)
 
 
 def effective_blocks(capacity: int, requested: int) -> int:
@@ -118,6 +111,332 @@ def effective_blocks(capacity: int, requested: int) -> int:
     return s
 
 
+def _graph_chi2(g: gg.PoseGraph, R, p, huber_delta):
+    """Full LM objective: robust-weighted edge chi2 + GPS priors + anchor.
+
+    This is the quantity the accept/reject decision must be monotone in —
+    it includes every term the step's H/g assembly includes (the edge-only
+    chi2 the solvers REPORT omits priors, matching solve_pose_graph)."""
+    gcur = dataclasses.replace(g, R=R, p=p)
+    ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
+    r = jax.vmap(gg._edge_residual)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
+    chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+    w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+    w = w * mask.astype(p.dtype)
+    chi2 = jnp.sum(chi2_e * w)
+    gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(p.dtype)
+    chi2 = chi2 + jnp.sum(g.gps_info * gps_r * gps_r)
+    anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+    chi2 = chi2 + anchor_r @ g.anchor_info @ anchor_r
+    return chi2
+
+
+def _linearize_assemble(g: gg.PoseGraph, R, p, S, B, huber_delta):
+    """One LM iteration's lambda-INDEPENDENT work: linearize all edges,
+    scatter per-block Hessians/gradients, compute separator bookkeeping and
+    the full gradient (for the LM gain ratio). Shared verbatim by the local
+    and sharded solvers so their math is identical."""
+    K = g.R.shape[0]
+    L = g.loop_i.shape[0]
+    dtype = p.dtype
+    P = 2 * S + 2 * L
+    node_ids = jnp.arange(K)
+    blk_of = node_ids // B
+
+    gcur = dataclasses.replace(g, R=R, p=p)
+    ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
+    r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
+    chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+    w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+    w = w * mask.astype(dtype)
+    W = info * w[:, None, None]
+    chi2_edges = jnp.sum(chi2_e * w)
+
+    # per-edge H blocks and gradients
+    Wr = jnp.einsum("eij,ej->ei", W, r)
+    g_i = jnp.einsum("eji,ej->ei", Ji, Wr)  # [E,6]
+    g_j = jnp.einsum("eji,ej->ei", Jj, Wr)
+    H_ii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
+    H_ij = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj)
+    H_jj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
+
+    # ---- separator bookkeeping
+    sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
+    sep_mask = sep_mask.at[g.loop_i].set(
+        sep_mask[g.loop_i] | g.loop_mask
+    ).at[g.loop_j].set(sep_mask[g.loop_j] | g.loop_mask)
+    slot = _slot_of(node_ids, B, S, 2 * L)
+    li_slot = jnp.where(
+        _slot_of(g.loop_i, B, S, 2 * L) >= 0,
+        _slot_of(g.loop_i, B, S, 2 * L),
+        2 * S + 2 * jnp.arange(L),
+    )
+    lj_slot = jnp.where(
+        _slot_of(g.loop_j, B, S, 2 * L) >= 0,
+        _slot_of(g.loop_j, B, S, 2 * L),
+        2 * S + 2 * jnp.arange(L) + 1,
+    )
+    slot = slot.at[g.loop_i].set(jnp.where(g.loop_mask, li_slot, slot[g.loop_i]))
+    slot = slot.at[g.loop_j].set(jnp.where(g.loop_mask, lj_slot, slot[g.loop_j]))
+    slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, P), P)  # P = dump
+
+    # ---- classify edges: intra-block vs separator-only
+    same_block = blk_of[ei] == blk_of[ej]
+    intra = same_block & ~is_loop & mask
+    sep_edge = mask & ~intra  # cross-block odometry + loop edges
+
+    edge_blk = jnp.where(intra, blk_of[ej], S)  # invalid -> dump block
+    loc_i = (ei % B).astype(jnp.int32)
+    loc_j = (ej % B).astype(jnp.int32)
+
+    def scatter_block(vals, rows, cols, blkid):
+        out = jnp.zeros((S + 1, 6 * B, 6 * B), dtype=dtype)
+        ri = (rows * 6)[:, None] + jnp.arange(6)[None, :]
+        ci = (cols * 6)[:, None] + jnp.arange(6)[None, :]
+        return out.at[
+            blkid[:, None, None], ri[:, :, None], ci[:, None, :]
+        ].add(vals)[:-1]
+
+    Hb = scatter_block(H_ii, loc_i, loc_i, edge_blk)
+    Hb = Hb + scatter_block(H_ij, loc_i, loc_j, edge_blk)
+    Hb = Hb + scatter_block(jnp.swapaxes(H_ij, 1, 2), loc_j, loc_i, edge_blk)
+    Hb = Hb + scatter_block(H_jj, loc_j, loc_j, edge_blk)
+    gb = jnp.zeros((S + 1, 6 * B), dtype=dtype)
+    gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
+    gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
+    gb = gb.at[edge_blk[:, None], gi_idx].add(g_i)
+    gb = gb.at[edge_blk[:, None], gj_idx].add(g_j)
+    gb = gb[:-1]
+
+    # GPS priors (unary, may be interior): into local blocks
+    w_gps = g.gps_info * g.gps_mask[:, None].astype(dtype)  # [K,3]
+    gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(dtype)
+    loc_n = (node_ids % B).astype(jnp.int32)
+    diag_idx = (loc_n * 6)[:, None] + jnp.arange(3)[None, :] + 3  # trans dims
+    Hb_flatdiag = jnp.zeros((S, 6 * B), dtype=dtype)
+    Hb_flatdiag = Hb_flatdiag.at[blk_of[:, None], diag_idx].add(w_gps)
+    Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
+    gb = gb.at[blk_of[:, None], diag_idx].add(w_gps * gps_r)
+
+    # Tikhonov keeps unconstrained dims inert
+    Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
+
+    sep_local = sep_mask.reshape(S, B)
+    D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)  # [S, 6B]
+    slot_local = slot.reshape(S, B)
+    sdim = ((slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]).reshape(
+        S, 6 * B
+    )
+
+    # static separator-edge candidates: the S-1 block-crossing chain edges
+    # k = B, 2B, ... plus the L loop edges (chain edges occupy [0, K))
+    cross_idx = jnp.arange(1, S, dtype=jnp.int32) * B
+    loop_idx = K + jnp.arange(L, dtype=jnp.int32)
+    cand = jnp.concatenate([cross_idx, loop_idx])
+    se_w = sep_edge[cand].astype(dtype)
+    si = jnp.where(sep_edge[cand], slot[ei[cand]], P)
+    sj = jnp.where(sep_edge[cand], slot[ej[cand]], P)
+    sep_terms = dict(
+        se_w=se_w,
+        di=(si * 6)[:, None] + jnp.arange(6)[None, :],
+        dj=(sj * 6)[:, None] + jnp.arange(6)[None, :],
+        H_ii=H_ii[cand],
+        H_ij=H_ij[cand],
+        H_jj=H_jj[cand],
+        g_i=g_i[cand],
+        g_j=g_j[cand],
+    )
+
+    # full gradient in node layout [K,6] (for the LM gain ratio denominator)
+    anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+    g_full = jnp.zeros((K, 6), dtype=dtype).at[ei].add(g_i).at[ej].add(g_j)
+    g_full = g_full.at[:, 3:].add(w_gps * gps_r)
+    g_full = g_full.at[0].add(g.anchor_info @ anchor_r)
+
+    # full objective = edge chi2 + GPS + anchor (see _graph_chi2)
+    chi2_full = (
+        chi2_edges
+        + jnp.sum(g.gps_info * gps_r * gps_r)
+        + anchor_r @ g.anchor_info @ anchor_r
+    )
+
+    return dict(
+        Hb=Hb, gb=gb, D=D, sdim=sdim, sep=sep_terms,
+        anchor_r=anchor_r, g_full=g_full, chi2=chi2_full,
+        # per-edge linearization products for the trust-region model's cheap
+        # Hessian-vector products (gg._hvp form)
+        ei=ei, ej=ej, Ji=Ji, Jj=Jj, W=W,
+    )
+
+
+def _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype):
+    """Add separator-only edge terms and the anchor prior to the reduced
+    system. LM damping does NOT reappear here: every real dim lives in
+    exactly one block's Hb (separator dims flow through H_SS), so damping
+    Hb's diagonal already damped the full system; this adds only the tiny
+    Tikhonov that keeps the dump/unused slots inert."""
+    s = lin["sep"]
+    di, dj, se_w = s["di"], s["dj"], s["se_w"]
+    H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(s["H_ii"] * se_w[:, None, None])
+    H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(s["H_ij"] * se_w[:, None, None])
+    H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
+        jnp.swapaxes(s["H_ij"], 1, 2) * se_w[:, None, None]
+    )
+    H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(s["H_jj"] * se_w[:, None, None])
+    g_sep = g_sep.at[di].add(s["g_i"] * se_w[:, None]).at[dj].add(s["g_j"] * se_w[:, None])
+    # anchor on node 0 (slot 0 — node 0 is a boundary separator)
+    H_sep = H_sep.at[:6, :6].add(g.anchor_info)
+    g_sep = g_sep.at[:6].add(g.anchor_info @ lin["anchor_r"])
+    # inert dump slot + unused slots
+    H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
+    return H_sep, g_sep
+
+
+def _eliminate_local(Hb_d, gb, D, sdim, Pdim, dtype):
+    """Masked interior elimination over all blocks (vmapped einsums)."""
+    Dm = D[:, :, None] * D[:, None, :]
+    H_II = Hb_d * Dm + jax.vmap(jnp.diag)(1.0 - D)
+    H_IS = Hb_d * (D[:, :, None] * (1.0 - D)[:, None, :])
+    H_SS = Hb_d * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
+    g_I = gb * D
+    g_S = gb * (1.0 - D)
+    X = _spd_solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
+    HII_inv_HIS = X[:, :, :-1]
+    HII_inv_gI = X[:, :, -1]
+    S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
+    g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
+    # one-hot projection instead of colliding scatter-add: every interior
+    # dim of every block would collide at the dump slot and serialize XLA's
+    # scatter (~700 ms of the round-1 837 ms solve); Q^T S Q rides the MXU.
+    Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
+    H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
+    g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
+    return H_sep, g_sep, HII_inv_HIS, HII_inv_gI
+
+
+def _back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D):
+    d_S_local = d_sep[sdim]
+    d_I = -HII_inv_gI - jnp.einsum("sij,sj->si", HII_inv_HIS, d_S_local)
+    return d_I * D + d_S_local * (1.0 - D)
+
+
+def _dogleg_combine(d_n, d_sd, delta):
+    """Powell dogleg point for trust radius delta: full Newton if it fits,
+    scaled steepest descent if even the Cauchy point doesn't, else the
+    boundary intersection of the Cauchy->Newton segment."""
+    nn = jnp.linalg.norm(d_n)
+    ns = jnp.linalg.norm(d_sd)
+    d_capped_sd = d_sd * (delta / jnp.maximum(ns, 1e-30))
+    diff = d_n - d_sd
+    a = jnp.dot(diff, diff)
+    b = 2.0 * jnp.dot(d_sd, diff)
+    c = jnp.dot(d_sd, d_sd) - delta * delta
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    beta = (-b + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, 1e-30)
+    d_interp = d_sd + jnp.clip(beta, 0.0, 1.0) * diff
+    return jnp.where(nn <= delta, d_n, jnp.where(ns >= delta, d_capped_sd, d_interp))
+
+
+def _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_fn):
+    """One dogleg trust-region iteration, shared by the local and sharded
+    solvers (only `newton_fn` — the block elimination — differs).
+
+    Why trust region and not plain GN or lambda-LM: on capacity-scale cold
+    graphs (K=512 drifted loop) the exact Newton step is a ~22 rad rotation
+    overshoot — pure GN oscillates/diverges (measured chi2 0.05 -> 2e4
+    between iterations 8 and 12), and lambda-LM creeps because the gain
+    ratio hovers ~0.5 so lambda never decays (measured: chi2 256 after 12
+    iterations vs PCG's 2.5). Dogleg pays ONE elimination per linearization,
+    rejected radii reuse the Newton direction (only a cheap chi2 eval +
+    edge-wise Hvp per retry), and the full Newton step — which polishes the
+    basin to grad ~1e-8 in 2 iterations — is taken automatically as soon as
+    it fits the radius. Matches g2o's OptimizationAlgorithmDogleg option for
+    the same solver family the reference builds on."""
+    K = g.R.shape[0]
+
+    def tr_step(carry, _):
+        R, p, delta = carry
+        lin = _linearize_assemble(g, R, p, S, B, huber_delta)
+        chi2_cur = lin["chi2"]
+        gflat = lin["g_full"].reshape(-1)
+        d_n = newton_fn(lin).reshape(-1)
+        d_n = jnp.where(jnp.all(jnp.isfinite(d_n)), d_n, -gflat)
+        gcur = dataclasses.replace(g, R=R, p=p)
+
+        def hvp(v):
+            return gg._hvp(
+                gcur, lin["ei"], lin["ej"], lin["Ji"], lin["Jj"], lin["W"],
+                v.reshape(K, 6),
+            ).reshape(-1)
+
+        Hg = hvp(gflat)
+        alpha = jnp.dot(gflat, gflat) / jnp.maximum(jnp.dot(gflat, Hg), 1e-30)
+        d_sd = -alpha * gflat
+
+        def cond(st):
+            _, acc, _, _, _, tries = st
+            return (~acc) & (tries < 8)
+
+        def body(st):
+            delta_i, acc, d_acc, chi2_acc, rho_acc, tries = st
+            d = _dogleg_combine(d_n, d_sd, delta_i)
+            pred = -(jnp.dot(gflat, d) + 0.5 * jnp.dot(d, hvp(d)))
+            dm = d.reshape(K, 6)
+            chi2_new = _graph_chi2(
+                g, R @ lie.so3_exp(dm[:, :3]), p + dm[:, 3:], huber_delta
+            )
+            rho = (chi2_cur - chi2_new) / jnp.maximum(pred, 1e-30)
+            ok = (chi2_new < chi2_cur) & (pred > 0) & jnp.isfinite(chi2_new)
+            return (
+                jnp.where(ok, delta_i, delta_i * 0.25),
+                ok,
+                jnp.where(ok, d, d_acc),
+                jnp.where(ok, chi2_new, chi2_acc),
+                jnp.where(ok, rho, rho_acc),
+                tries + 1,
+            )
+
+        init = (
+            delta,
+            jnp.asarray(False),
+            jnp.zeros_like(gflat),
+            chi2_cur,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        delta_f, acc, d_acc, _, rho, _ = jax.lax.while_loop(cond, body, init)
+        dnorm = jnp.linalg.norm(d_acc)
+        delta_out = jnp.where(
+            acc & (rho > 0.75), jnp.maximum(delta_f, 3.0 * dnorm), delta_f
+        )
+        dm = d_acc.reshape(K, 6)
+        R_next = jnp.where(acc, R @ lie.so3_exp(dm[:, :3]), R)
+        p_next = jnp.where(acc, p + dm[:, 3:], p)
+        return (R_next, p_next, delta_out), chi2_cur
+
+    return tr_step
+
+
+@partial(jax.jit, static_argnames=("num_blocks", "gn_iters", "huber_delta"))
+def solve_pose_graph_schur(
+    g: gg.PoseGraph,
+    num_blocks: int = 8,
+    gn_iters: int = 8,
+    huber_delta: float = 1.0,
+):
+    """Dogleg trust-region with per-iteration block-Schur elimination
+    (see _make_tr_step for why trust region, not pure GN or lambda-LM).
+
+    Forces float32 matmul precision: TPU default (bfloat16 passes) makes the
+    interior-block inverse H_II^-1 and the reduced separator system blow up
+    to NaN on real graphs — elimination chains condition numbers in a way
+    the iterative PCG path tolerates but direct factorization does not.
+    """
+    num_blocks = effective_blocks(g.R.shape[0], num_blocks)
+    with jax.default_matmul_precision("float32"):
+        return _schur_impl(g, num_blocks, gn_iters, huber_delta)
+
+
 def _schur_impl(g, num_blocks, gn_iters, huber_delta):
     K = g.R.shape[0]
     L = g.loop_i.shape[0]
@@ -125,187 +444,24 @@ def _schur_impl(g, num_blocks, gn_iters, huber_delta):
     assert K % S == 0, "keyframe capacity must divide into blocks"
     B = K // S
     dtype = g.p.dtype
-    P = 2 * S + 2 * L  # separator slot capacity (+1 dump slot appended)
+    P = 2 * S + 2 * L
+    Pdim = 6 * (P + 1)
 
-    node_ids = jnp.arange(K)
-    blk_of = node_ids // B
-
-    def gn_step(carry, _):
-        R, p = carry
-        gcur = dataclasses.replace(g, R=R, p=p)
-
-        # ---- linearize ALL edges once (odometry chain + loops)
-        ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
-        r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(
-            R[ei], p[ei], R[ej], p[ej], Rm, pm
+    def newton_local(lin):
+        H_sep, g_sep, HII_inv_HIS, HII_inv_gI = _eliminate_local(
+            lin["Hb"], lin["gb"], lin["D"], lin["sdim"], Pdim, dtype
         )
-        chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
-        w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
-        w = w * mask.astype(dtype)
-        W = info * w[:, None, None]
-        chi2 = jnp.sum(chi2_e * w)
+        H_sep, g_sep = _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype)
+        d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
+        d_sep = d_sep.at[6 * P:].set(0.0)  # dump slot contributes nothing
+        return _back_substitute(
+            HII_inv_HIS, HII_inv_gI, d_sep, lin["sdim"], lin["D"]
+        ).reshape(K, 6)
 
-        # per-edge H blocks and gradients
-        Wr = jnp.einsum("eij,ej->ei", W, r)
-        g_i = jnp.einsum("eji,ej->ei", Ji, Wr)  # [E,6]
-        g_j = jnp.einsum("eji,ej->ei", Jj, Wr)
-        H_ii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
-        H_ij = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj)
-        H_jj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
-
-        # ---- separator bookkeeping
-        # separator nodes: block boundaries + active loop endpoints
-        sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
-        sep_mask = sep_mask.at[g.loop_i].set(
-            sep_mask[g.loop_i] | g.loop_mask
-        ).at[g.loop_j].set(sep_mask[g.loop_j] | g.loop_mask)
-        # slot per node: boundary slot, else loop slot (first match), else -1
-        slot = _slot_of(node_ids, B, S, 2 * L)
-        # assign loop-endpoint slots where not boundary (later loops override
-        # earlier identical endpoints harmlessly: one node -> one slot)
-        li_slot = jnp.where(
-            _slot_of(g.loop_i, B, S, 2 * L) >= 0,
-            _slot_of(g.loop_i, B, S, 2 * L),
-            2 * S + 2 * jnp.arange(L),
-        )
-        lj_slot = jnp.where(
-            _slot_of(g.loop_j, B, S, 2 * L) >= 0,
-            _slot_of(g.loop_j, B, S, 2 * L),
-            2 * S + 2 * jnp.arange(L) + 1,
-        )
-        slot = slot.at[g.loop_i].set(jnp.where(g.loop_mask, li_slot, slot[g.loop_i]))
-        slot = slot.at[g.loop_j].set(jnp.where(g.loop_mask, lj_slot, slot[g.loop_j]))
-        slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, P), P)  # P = dump
-
-        # ---- classify edges: intra-block (handled in block elimination) vs
-        # separator-only (both endpoints separators AND (cross-block or loop))
-        same_block = blk_of[ei] == blk_of[ej]
-        intra = same_block & ~is_loop & mask
-        sep_edge = mask & ~intra  # cross-block odometry + loop edges
-
-        # ---- per-block local assembly from intra edges
-        # edge k of the odometry chain belongs to block blk_of[ej] (= j=k)
-        E = ei.shape[0]
-        edge_blk = jnp.where(intra, blk_of[ej], S)  # invalid -> dump block
-        # local indices of endpoints within the block
-        loc_i = (ei % B).astype(jnp.int32)
-        loc_j = (ej % B).astype(jnp.int32)
-
-        # build [S, 6B, 6B] local Hessians and [S, 6B] gradients by scatter
-        def scatter_block(vals, rows, cols, blkid):
-            out = jnp.zeros((S + 1, 6 * B, 6 * B), dtype=dtype)
-            r0 = rows * 6
-            c0 = cols * 6
-            ri = r0[:, None] + jnp.arange(6)[None, :]
-            ci = c0[:, None] + jnp.arange(6)[None, :]
-            return out.at[
-                blkid[:, None, None],
-                ri[:, :, None],
-                ci[:, None, :],
-            ].add(vals)[:-1]
-
-        Hb = scatter_block(H_ii, loc_i, loc_i, edge_blk)
-        Hb = Hb + scatter_block(H_ij, loc_i, loc_j, edge_blk)
-        Hb = Hb + scatter_block(jnp.swapaxes(H_ij, 1, 2), loc_j, loc_i, edge_blk)
-        Hb = Hb + scatter_block(H_jj, loc_j, loc_j, edge_blk)
-        gb = jnp.zeros((S + 1, 6 * B), dtype=dtype)
-        gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
-        gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
-        gb = gb.at[edge_blk[:, None], gi_idx].add(g_i)
-        gb = gb.at[edge_blk[:, None], gj_idx].add(g_j)
-        gb = gb[:-1]
-
-        # GPS priors (unary, may be interior): into local blocks
-        w_gps = g.gps_info * g.gps_mask[:, None].astype(dtype)  # [K,3]
-        gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(dtype)
-        loc_n = (node_ids % B).astype(jnp.int32)
-        diag_idx = (loc_n * 6)[:, None] + jnp.arange(3)[None, :] + 3  # trans dims
-        # (diagonal add, element-wise form)
-        Hb_flatdiag = jnp.zeros((S, 6 * B), dtype=dtype)
-        Hb_flatdiag = Hb_flatdiag.at[blk_of[:, None], diag_idx].add(w_gps)
-        Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
-        gb = gb.at[blk_of[:, None], diag_idx].add(w_gps * gps_r)
-
-        # Tikhonov keeps unconstrained dims inert
-        Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
-
-        # ---- masked interior elimination per block
-        # D: interior indicator per local dim
-        sep_local = sep_mask.reshape(S, B)  # [S,B]
-        D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)  # [S, 6B]
-        Dm = D[:, :, None] * D[:, None, :]
-        # H_II' = D H D + diag(1-D): acts as H_II on interior dims, identity
-        # elsewhere — static shapes, no permutations
-        H_II = Hb * Dm + jax.vmap(jnp.diag)(1.0 - D)
-        H_IS = Hb * (D[:, :, None] * (1.0 - D)[:, None, :])  # interior rows, sep cols
-        H_SS = Hb * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
-        g_I = gb * D
-        g_S = gb * (1.0 - D)
-
-        X = _spd_solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
-        HII_inv_HIS = X[:, :, :-1]
-        HII_inv_gI = X[:, :, -1]
-        S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
-        g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
-
-        # ---- assemble the reduced separator system [6(P+1)] (last = dump)
-        slot_local = slot.reshape(S, B)  # [S,B] (P for non-separators)
-        sdim = (slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]
-        sdim = sdim.reshape(S, 6 * B)  # slot dim per local dim
-        Pdim = 6 * (P + 1)
-        # one-hot projection Q[s] in [6B, Pdim]: scatter-adding S_blk by sdim
-        # serializes on the millions of colliding dump-slot indices (every
-        # interior dim of every block collides at dim 6P) — XLA scatter-add
-        # was ~700 ms of the round-1 837 ms solve. The projection form
-        # Q^T S Q rides the MXU instead.
-        Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
-        H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
-        g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
-
-        # separator-only edges (cross-block odometry + loops). The candidate
-        # set is STATIC: the S-1 block-crossing chain edges k = B, 2B, ...
-        # plus the L loop edges — gather those few, scatter without the
-        # all-edges collision pile-up.
-        K_edges = K  # chain edges occupy [0, K) of the flat edge arrays
-        cross_idx = jnp.arange(1, S, dtype=jnp.int32) * B
-        loop_idx = K_edges + jnp.arange(L, dtype=jnp.int32)
-        cand = jnp.concatenate([cross_idx, loop_idx])  # [S-1+L]
-        se_w = sep_edge[cand].astype(dtype)
-        si = jnp.where(sep_edge[cand], slot[ei[cand]], P)
-        sj = jnp.where(sep_edge[cand], slot[ej[cand]], P)
-        cH_ii, cH_ij, cH_jj = H_ii[cand], H_ij[cand], H_jj[cand]
-        cg_i, cg_j = g_i[cand], g_j[cand]
-        di = (si * 6)[:, None] + jnp.arange(6)[None, :]
-        dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
-        H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(cH_ii * se_w[:, None, None])
-        H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(cH_ij * se_w[:, None, None])
-        H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
-            jnp.swapaxes(cH_ij, 1, 2) * se_w[:, None, None]
-        )
-        H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(cH_jj * se_w[:, None, None])
-        g_sep = g_sep.at[di].add(cg_i * se_w[:, None]).at[dj].add(cg_j * se_w[:, None])
-
-        # anchor on node 0 (slot 0 — node 0 is a boundary separator)
-        anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
-        H_sep = H_sep.at[:6, :6].add(g.anchor_info)
-        g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
-
-        # inert dump slot + unused slots
-        H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-        d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]  # [6(P+1)]
-        d_sep = d_sep.at[6 * P :].set(0.0)  # dump slot contributes nothing
-
-        # ---- back-substitution per block
-        d_S_local = d_sep[sdim]  # [S, 6B] separator deltas in local layout
-        d_I = -HII_inv_gI - jnp.einsum("sij,sj->si", HII_inv_HIS, d_S_local)
-        d_local = d_I * D + d_S_local * (1.0 - D)  # [S, 6B]
-        d = d_local.reshape(K, 6)
-
-        R_new = R @ lie.so3_exp(d[:, :3])
-        p_new = p + d[:, 3:]
-        return (R_new, p_new), chi2
-
-    (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (g.R, g.p), None, length=gn_iters)
+    tr_step = _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_local)
+    (R_fin, p_fin, _), chi2s = jax.lax.scan(
+        tr_step, (g.R, g.p, jnp.asarray(1.0, dtype)), None, length=gn_iters
+    )
     g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
     _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
     return g_out, chi2_fin
@@ -323,10 +479,15 @@ def solve_pose_graph_schur_sharded(
     dominant cost) are sharded over `axis`; each device contributes its
     blocks' reduced-system terms which combine by psum over ICI; the tiny
     separator solve is replicated (float32 matmul precision is forced for
-    the same conditioning reason as solve_pose_graph_schur); back-substitution runs on each block's
-    owner. Identical math to solve_pose_graph_schur (cross-checked in tests).
+    the same conditioning reason as solve_pose_graph_schur);
+    back-substitution runs on each block's owner. The linearization,
+    assembly, and dogleg trust-region logic are the SAME functions as the
+    local solver (_linearize_assemble/_finish_sep_system/_make_tr_step) —
+    only the elimination map differs (shard_map + psum vs vmap), so the two
+    paths agree to f32 reduction-order noise (asserted at capacity scale in
+    tests/test_block_schur.py).
     """
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P_
 
     K = g.R.shape[0]
     L = g.loop_i.shape[0]
@@ -340,37 +501,21 @@ def solve_pose_graph_schur_sharded(
         )
     B = K // S
     dtype = g.p.dtype
-    Pslots = 2 * S + 2 * L
-    Pdim = 6 * (Pslots + 1)
-    node_ids = jnp.arange(K)
-    blk_of = node_ids // B
+    P = 2 * S + 2 * L
+    Pdim = 6 * (P + 1)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(axis), P(axis)),
+        in_specs=(P_(axis), P_(axis), P_(axis), P_(axis)),
+        out_specs=(P_(), P_(), P_(axis), P_(axis)),
         check_vma=False,
     )
-    def eliminate(Hb, gb, D, sdim):
+    def eliminate(Hb_d, gb, D, sdim):
         """Per-device: Schur-eliminate local blocks; psum reduced system."""
-        Dm = D[:, :, None] * D[:, None, :]
-        H_II = Hb * Dm + jax.vmap(jnp.diag)(1.0 - D)
-        H_IS = Hb * (D[:, :, None] * (1.0 - D)[:, None, :])
-        H_SS = Hb * ((1.0 - D)[:, :, None] * (1.0 - D)[:, None, :])
-        g_I = gb * D
-        g_S = gb * (1.0 - D)
-        X = _spd_solve(H_II, jnp.concatenate([H_IS, g_I[:, :, None]], axis=2))
-        HII_inv_HIS = X[:, :, :-1]
-        HII_inv_gI = X[:, :, -1]
-        S_blk = H_SS - jnp.einsum("sij,sik->sjk", H_IS, HII_inv_HIS)
-        g_blk = g_S - jnp.einsum("sij,si->sj", H_IS, HII_inv_gI)
-        # one-hot projection instead of colliding scatter-add (see
-        # _schur_impl): each device projects its local blocks on the MXU
-        Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
-        H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
-        g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
-        # combine submap contributions over the interconnect
+        H_sep, g_sep, HII_inv_HIS, HII_inv_gI = _eliminate_local(
+            Hb_d, gb, D, sdim, Pdim, dtype
+        )
         H_sep = jax.lax.psum(H_sep, axis)
         g_sep = jax.lax.psum(g_sep, axis)
         return H_sep, g_sep, HII_inv_HIS, HII_inv_gI
@@ -378,125 +523,31 @@ def solve_pose_graph_schur_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(P_(axis), P_(axis), P_(), P_(axis), P_(axis)),
+        out_specs=P_(axis),
         check_vma=False,
     )
     def back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D):
-        d_S_local = d_sep[sdim]
-        d_I = -HII_inv_gI - jnp.einsum("sij,sj->si", HII_inv_HIS, d_S_local)
-        return d_I * D + d_S_local * (1.0 - D)
+        return _back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
+
+    def newton_sharded(lin):
+        H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(
+            lin["Hb"], lin["gb"], lin["D"], lin["sdim"]
+        )
+        H_sep, g_sep = _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype)
+        d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
+        d_sep = d_sep.at[6 * P:].set(0.0)
+        return back_substitute(
+            HII_inv_HIS, HII_inv_gI, d_sep, lin["sdim"], lin["D"]
+        ).reshape(K, 6)
+
+    tr_step = _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_sharded)
 
     @jax.jit
     def run(R0, p0):
-        def gn_step(carry, _):
-            R, p = carry
-            gcur = dataclasses.replace(g, R=R, p=p)
-            ei, ej, Rm, pm, info, mask, is_loop = gg._gather_edges(gcur)
-            r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
-            chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
-            w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
-            w = w * mask.astype(dtype)
-            W = info * w[:, None, None]
-            chi2 = jnp.sum(chi2_e * w)
-            Wr = jnp.einsum("eij,ej->ei", W, r)
-            g_i = jnp.einsum("eji,ej->ei", Ji, Wr)
-            g_j = jnp.einsum("eji,ej->ei", Jj, Wr)
-            H_ii = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji)
-            H_ij = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj)
-            H_jj = jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj)
-
-            sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
-            sep_mask = sep_mask.at[g.loop_i].set(
-                sep_mask[g.loop_i] | g.loop_mask
-            ).at[g.loop_j].set(sep_mask[g.loop_j] | g.loop_mask)
-            slot = _slot_of(node_ids, B, S, 2 * L)
-            li_slot = jnp.where(
-                _slot_of(g.loop_i, B, S, 2 * L) >= 0,
-                _slot_of(g.loop_i, B, S, 2 * L),
-                2 * S + 2 * jnp.arange(L),
-            )
-            lj_slot = jnp.where(
-                _slot_of(g.loop_j, B, S, 2 * L) >= 0,
-                _slot_of(g.loop_j, B, S, 2 * L),
-                2 * S + 2 * jnp.arange(L) + 1,
-            )
-            slot = slot.at[g.loop_i].set(jnp.where(g.loop_mask, li_slot, slot[g.loop_i]))
-            slot = slot.at[g.loop_j].set(jnp.where(g.loop_mask, lj_slot, slot[g.loop_j]))
-            slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, Pslots), Pslots)
-
-            same_block = blk_of[ei] == blk_of[ej]
-            intra = same_block & ~is_loop & mask
-            sep_edge = mask & ~intra
-            edge_blk = jnp.where(intra, blk_of[ej], S)
-            loc_i = (ei % B).astype(jnp.int32)
-            loc_j = (ej % B).astype(jnp.int32)
-
-            def scatter_block(vals, rows, cols, blkid):
-                out = jnp.zeros((S + 1, 6 * B, 6 * B), dtype=dtype)
-                ri = (rows * 6)[:, None] + jnp.arange(6)[None, :]
-                ci = (cols * 6)[:, None] + jnp.arange(6)[None, :]
-                return out.at[blkid[:, None, None], ri[:, :, None], ci[:, None, :]].add(vals)[:-1]
-
-            Hb = scatter_block(H_ii, loc_i, loc_i, edge_blk)
-            Hb = Hb + scatter_block(H_ij, loc_i, loc_j, edge_blk)
-            Hb = Hb + scatter_block(jnp.swapaxes(H_ij, 1, 2), loc_j, loc_i, edge_blk)
-            Hb = Hb + scatter_block(H_jj, loc_j, loc_j, edge_blk)
-            gb = jnp.zeros((S + 1, 6 * B), dtype=dtype)
-            gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
-            gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
-            gb = gb.at[edge_blk[:, None], gi_idx].add(g_i)
-            gb = gb.at[edge_blk[:, None], gj_idx].add(g_j)
-            gb = gb[:-1]
-
-            w_gps = g.gps_info * g.gps_mask[:, None].astype(dtype)
-            gps_r = (p - g.gps_xyz) * g.gps_mask[:, None].astype(dtype)
-            loc_n = (node_ids % B).astype(jnp.int32)
-            diag_idx = (loc_n * 6)[:, None] + jnp.arange(3)[None, :] + 3
-            Hb_flatdiag = jnp.zeros((S, 6 * B), dtype=dtype)
-            Hb_flatdiag = Hb_flatdiag.at[blk_of[:, None], diag_idx].add(w_gps)
-            Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
-            gb = gb.at[blk_of[:, None], diag_idx].add(w_gps * gps_r)
-            Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
-
-            sep_local = sep_mask.reshape(S, B)
-            D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)
-            slot_local = slot.reshape(S, B)
-            sdim = ((slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]).reshape(S, 6 * B)
-
-            # ---- sharded elimination + psum-reduced separator system
-            H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(Hb, gb, D, sdim)
-
-            # static separator-edge candidates (see _schur_impl)
-            cross_idx = jnp.arange(1, S, dtype=jnp.int32) * B
-            loop_idx = K + jnp.arange(L, dtype=jnp.int32)
-            cand = jnp.concatenate([cross_idx, loop_idx])
-            se_w = sep_edge[cand].astype(dtype)
-            si = jnp.where(sep_edge[cand], slot[ei[cand]], Pslots)
-            sj = jnp.where(sep_edge[cand], slot[ej[cand]], Pslots)
-            cH_ii, cH_ij, cH_jj = H_ii[cand], H_ij[cand], H_jj[cand]
-            cg_i, cg_j = g_i[cand], g_j[cand]
-            di = (si * 6)[:, None] + jnp.arange(6)[None, :]
-            dj = (sj * 6)[:, None] + jnp.arange(6)[None, :]
-            H_sep = H_sep.at[di[:, :, None], di[:, None, :]].add(cH_ii * se_w[:, None, None])
-            H_sep = H_sep.at[di[:, :, None], dj[:, None, :]].add(cH_ij * se_w[:, None, None])
-            H_sep = H_sep.at[dj[:, :, None], di[:, None, :]].add(
-                jnp.swapaxes(cH_ij, 1, 2) * se_w[:, None, None]
-            )
-            H_sep = H_sep.at[dj[:, :, None], dj[:, None, :]].add(cH_jj * se_w[:, None, None])
-            g_sep = g_sep.at[di].add(cg_i * se_w[:, None]).at[dj].add(cg_j * se_w[:, None])
-            anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
-            H_sep = H_sep.at[:6, :6].add(g.anchor_info)
-            g_sep = g_sep.at[:6].add(g.anchor_info @ anchor_r)
-            H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
-            d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
-            d_sep = d_sep.at[6 * Pslots :].set(0.0)
-
-            d_local = back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
-            d = d_local.reshape(K, 6)
-            return (R @ lie.so3_exp(d[:, :3]), p + d[:, 3:]), chi2
-
-        (R_fin, p_fin), chi2s = jax.lax.scan(gn_step, (R0, p0), None, length=gn_iters)
+        (R_fin, p_fin, _), _ = jax.lax.scan(
+            tr_step, (R0, p0, jnp.asarray(1.0, dtype)), None, length=gn_iters
+        )
         return R_fin, p_fin
 
     with jax.default_matmul_precision("float32"):

@@ -27,7 +27,7 @@ from rivslam_tpu.core.pointcloud import RadarCloud
 from rivslam_tpu.eval.timing import StageTimers
 from rivslam_tpu.frontend import apdgicp, floor, odometry, reve, scan2map
 from rivslam_tpu.loop import detector, global_graph, scancontext
-from rivslam_tpu.ops import deskew, filters
+from rivslam_tpu.ops import deskew, filters, voxel
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -156,6 +156,16 @@ class Engine:
                     cl = deskew.deskew(cl, ang_vel, scan_period=c.preprocess.scan_period)
                 if c.preprocess.use_distance_filter:
                     cl = filters.distance_filter(cl, c.preprocess)
+                if c.preprocess.downsample_method == "VOXELGRID":
+                    # voxel-grid downsample between the distance filter and
+                    # outlier removal, matching the reference's stage order
+                    # (preprocessing_nodelet.cpp:796-816, downsample at :850,
+                    # launch:57-59 resolution 0.1). Output keeps the input
+                    # capacity — occupied voxels never exceed point count, so
+                    # nothing is dropped; the cloud comes back voxel-sorted.
+                    cl = voxel.voxel_downsample(
+                        cl, c.preprocess.downsample_resolution, cl.xyz.shape[0]
+                    )
                 if c.preprocess.outlier_removal_method == "RADIUS":
                     cl = filters.radius_outlier_removal(
                         cl, c.preprocess.radius_radius, c.preprocess.radius_min_neighbors

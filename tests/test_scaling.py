@@ -16,8 +16,26 @@ def test_scaling_harness_runs_and_matches():
     for row in rows:
         assert row["fleet"]["aggregate_fps"] > 0
         assert row["sharded_register"]["ms"] > 0
-        # distributed solvers must reproduce the local optimum
+        # distributed solvers must reproduce the local optimum; a mismatch
+        # is surfaced both here and by run_scaling's loud WARNING + the
+        # chi2_mismatches list (nonzero exit from main)
         assert row["dist_pcg"]["chi2_matches_local"]
+        assert "skipped" not in row["dist_schur"], row["dist_schur"]
         assert row["dist_schur"]["chi2_matches_local"]
+    assert out["chi2_mismatches"] == []
     # weak scaling: n sequences through an n-device fleet mesh all complete
     assert rows[1]["fleet"]["sequences"] == 2
+
+
+def test_schur_blocks_fallback_for_non_dividing_counts():
+    """ADVICE r2: device counts that don't divide the default submap count
+    must still pick a valid partition (largest divisor of graph_k that is a
+    multiple of n), not silently skip or crash."""
+    out = scaling.run_scaling(
+        [3], frames=4, capacity=60, graph_k=60, repeats=1,
+        gn_iters=2, imu_capacity=8,
+    )
+    row = out["scaling"][0]
+    ds = row["dist_schur"]
+    assert "skipped" not in ds, ds
+    assert ds["blocks"] % 3 == 0 and 60 % ds["blocks"] == 0

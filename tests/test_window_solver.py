@@ -222,3 +222,29 @@ def test_gn_survives_rejected_first_step():
     err0 = np.linalg.norm(np.asarray(x0.p) - np.asarray(truth.p), axis=1).mean()
     err1 = np.linalg.norm(np.asarray(x_gn.p) - np.asarray(truth.p), axis=1).mean()
     assert err1 < 0.5 * err0
+
+
+def test_block_linearization_matches_dense_jacfwd():
+    """linearize_blocks (per-slot [33,30] Jacobians, block-tridiagonal H)
+    must equal the round-2 dense path (jacfwd over the full W*15 retraction
+    of residual_vector) exactly — same residuals, same frozen IRLS weights,
+    just block-structured differentiation. f64, atol 1e-9."""
+    x0, f, _ = build_problem()
+    _, kw = win.residual_vector(x0, f, CFG, BIAS_INFO)
+
+    def r_of_delta(d):
+        r, _ = win.residual_vector(
+            win.retract(x0, d.reshape(W, 15)), f, CFG, BIAS_INFO, kw
+        )
+        return r
+
+    d0 = jnp.zeros(W * 15, dtype=jnp.float64)
+    r0 = r_of_delta(d0)
+    J = jax.jacfwd(r_of_delta)(d0)
+    H_dense = J.T @ J
+    g_dense = J.T @ r0
+
+    H_blk, g_blk, chi2_blk = win.linearize_blocks(x0, f, CFG, BIAS_INFO, kw)
+    np.testing.assert_allclose(np.asarray(H_blk), np.asarray(H_dense), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_dense), atol=1e-9)
+    np.testing.assert_allclose(float(chi2_blk), float(jnp.sum(r0 * r0)), rtol=1e-12)
