@@ -201,7 +201,11 @@ def main(argv=None) -> int:
 
     if args.fleet:
         B = args.fleet
-        batch = {k: np.stack([v] * B) for k, v in stacked.items()}
+        batch = {
+            k: np.stack([v] * B)
+            for k, v in stacked.items()
+            if not k.startswith("_")  # skip replay's device-prep cache
+        }
         t0 = time.perf_counter()
         eng.replay_fleet(batch)
         fleet_compile = time.perf_counter() - t0

@@ -77,57 +77,95 @@ def preintegrate(
     dtype = acc.dtype
     ng2 = noise_gyro * noise_gyro
     na2 = noise_acc * noise_acc
-    noise_diag = jnp.asarray([ng2, ng2, ng2, na2, na2, na2], dtype=dtype)
+    K = dts.shape[0]
+
+    # ---- batched per-sample precompute (everything that depends only on
+    # the measurements and the FIXED start biases, NOT on the carry). The
+    # original per-sample scan body built 9x9 A / 9x6 B with .at[].set and
+    # evaluated so3_exp / right-Jacobian transcendentals serially — profiled
+    # at ~0.5 ms/frame of tiny dynamic-update-slice + fusion ops on TPU.
+    # Vectorized, these are a handful of [K,...] fused ops; the serial scan
+    # below keeps only the true recurrences as 3x3 block algebra.
+    #
+    # midpoint partner: the last VALID sample before k (the reference's
+    # `last = current` convention on the first sample, cpp:15-18)
+    idx = jnp.arange(K)
+    prev_valid = jnp.concatenate(
+        [jnp.full((1,), -1, idx.dtype),
+         jax.lax.cummax(jnp.where(mask, idx, -1))[:-1]]
+    )
+    last_idx = jnp.where(prev_valid >= 0, prev_valid, idx)
+    gyr_m = 0.5 * (gyr[last_idx] + gyr) - bg  # [K,3]
+    acc_m = 0.5 * (acc[last_idx] + acc) - ba  # [K,3]
+
+    omega = gyr_m * dts[:, None]
+    deltaR = jax.vmap(lie.so3_exp)(omega)  # [K,3,3]
+    rightJ = jax.vmap(lie.so3_right_jacobian)(omega)
+    acc_hat = jax.vmap(lie.hat)(acc_m)
+    # gyro block of B Sigma B^T: ng2 dt^2 rJ rJ^T (measurement-only)
+    Q_theta = (ng2) * dts[:, None, None] ** 2 * jnp.einsum(
+        "kij,klj->kil", rightJ, rightJ
+    )
 
     init = Preintegration.identity(dtype)
     init = dataclasses.replace(init, bg=bg, ba=ba)
-    # carry also tracks last (acc, gyr) and whether we've seen a sample
-    carry0 = (init, acc[0] * 0, gyr[0] * 0, jnp.asarray(False))
 
-    def step(carry, x):
-        p, last_acc, last_gyr, started = carry
-        dt, a, g, m = x
-        last_a = jnp.where(started, last_acc, a)
-        last_g = jnp.where(started, last_gyr, g)
-        gyr_m = 0.5 * (last_g + g) - bg
-        acc_m = 0.5 * (last_a + a) - ba
-
+    def step(p, x):
+        dt, dR_k, rJ, ah, am, Qth, m = x
         dt2 = dt * dt
         dR = p.dR
-        dp_new = p.dp + p.dv * dt + 0.5 * dR @ acc_m * dt2
-        dv_new = p.dv + dR @ acc_m * dt
-        acc_hat = lie.hat(acc_m)
+        dp_new = p.dp + p.dv * dt + 0.5 * dR @ am * dt2
+        dv_new = p.dv + dR @ am * dt
 
-        omega = gyr_m * dt
-        rightJ = lie.so3_right_jacobian(omega)
-        deltaR = lie.so3_exp(omega)
+        # A = [[a, 0, 0], [b, I, 0], [0.5 dt b, dt I, I]] with a = deltaR^T,
+        # b = -dR acc_hat dt (imu_preintegration.cpp:25-37,63-64). cov
+        # propagation cov' = A cov A^T + B Sigma B^T expanded into 3x3
+        # blocks (upper triangle + symmetrize) — no 9x9 assembly.
+        a = dR_k.T
+        b = -(dR @ ah) * dt
+        C = p.cov
+        C00, C01, C02 = C[0:3, 0:3], C[0:3, 3:6], C[0:3, 6:9]
+        C11, C12, C22 = C[3:6, 3:6], C[3:6, 6:9], C[6:9, 6:9]
+        # M = A @ C (block rows)
+        M00, M01, M02 = a @ C00, a @ C01, a @ C02
+        bC00, bC01, bC02 = b @ C00, b @ C01, b @ C02
+        M10, M11, M12 = bC00 + C01.T, bC01 + C11, bC02 + C12
+        M20 = 0.5 * dt * bC00 + dt * C01.T + C02.T
+        M21 = 0.5 * dt * bC01 + dt * C11 + C12.T
+        M22 = 0.5 * dt * bC02 + dt * C12 + C22
+        # N = M @ A^T (block cols); reuse M_x0 b^T for the 0.5 dt column
+        N00 = M00 @ a.T
+        M00bT, M10bT, M20bT = M00 @ b.T, M10 @ b.T, M20 @ b.T
+        N01 = M00bT + M01
+        N02 = 0.5 * dt * M00bT + dt * M01 + M02
+        N11 = M10bT + M11
+        N12 = 0.5 * dt * M10bT + dt * M11 + M12
+        N22 = 0.5 * dt * M20bT + dt * M21 + M22
+        # B Sigma B^T blocks: theta from precomputed Q_theta; v/p from
+        # na2 dt^2 dR dR^T (dR is orthonormal up to f32 drift — keep the
+        # explicit product for parity with the reference's B Sigma B^T)
+        S = (na2 * dt2) * (dR @ dR.T)
+        N00 = N00 + Qth
+        N11 = N11 + S
+        N12 = N12 + 0.5 * dt * S
+        N22 = N22 + 0.25 * dt2 * S
+        top = jnp.concatenate([N00, N01, N02], axis=1)
+        mid = jnp.concatenate([N01.T, N11, N12], axis=1)
+        bot = jnp.concatenate([N02.T, N12.T, N22], axis=1)
+        cov = jnp.concatenate([top, mid, bot], axis=0)
 
-        # A (9x9), order (theta, v, p)  — imu_preintegration.cpp:25-37,63-64
-        A = jnp.eye(9, dtype=dtype)
-        A = A.at[0:3, 0:3].set(deltaR.T)
-        A = A.at[3:6, 0:3].set(-dR @ acc_hat * dt)
-        A = A.at[6:9, 0:3].set(-0.5 * dR @ acc_hat * dt2)
-        A = A.at[6:9, 3:6].set(jnp.eye(3, dtype=dtype) * dt)
-        B = jnp.zeros((9, 6), dtype=dtype)
-        B = B.at[0:3, 0:3].set(rightJ * dt)
-        B = B.at[3:6, 3:6].set(dR * dt)
-        B = B.at[6:9, 3:6].set(0.5 * dR * dt2)
-
+        dRah = dR @ ah
         dP_dba = p.dP_dba + p.dV_dba * dt - 0.5 * dR * dt2
-        dP_dbg = p.dP_dbg + p.dV_dbg * dt - 0.5 * dR @ acc_hat @ p.dR_dbg * dt2
+        dP_dbg = p.dP_dbg + p.dV_dbg * dt - 0.5 * dRah @ p.dR_dbg * dt2
         dV_dba = p.dV_dba - dR * dt
-        dV_dbg = p.dV_dbg - dR @ acc_hat @ p.dR_dbg * dt
-
-        cov = A @ p.cov @ A.T + (B * noise_diag[None, :]) @ B.T
-        dR_new = dR @ deltaR
-        dR_dbg = deltaR.T @ p.dR_dbg - rightJ * dt
+        dV_dbg = p.dV_dbg - dRah @ p.dR_dbg * dt
 
         p_new = Preintegration(
             dt=p.dt + dt,
-            dR=dR_new,
+            dR=dR @ dR_k,
             dv=dv_new,
             dp=dp_new,
-            dR_dbg=dR_dbg,
+            dR_dbg=dR_k.T @ p.dR_dbg - rJ * dt,
             dV_dbg=dV_dbg,
             dV_dba=dV_dba,
             dP_dbg=dP_dbg,
@@ -136,10 +174,11 @@ def preintegrate(
             bg=p.bg,
             ba=p.ba,
         )
-        p_out = jax.tree.map(lambda new, old: jnp.where(m, new, old), p_new, p)
-        return (p_out, jnp.where(m, a, last_a), jnp.where(m, g, last_g), started | m), None
+        return jax.tree.map(lambda new, old: jnp.where(m, new, old), p_new, p), None
 
-    (out, _, _, _), _ = jax.lax.scan(step, carry0, (dts, acc, gyr, mask))
+    out, _ = jax.lax.scan(
+        step, init, (dts, deltaR, rightJ, acc_hat, acc_m, Q_theta, mask)
+    )
     return out
 
 
