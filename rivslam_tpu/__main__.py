@@ -301,6 +301,24 @@ def main(argv=None) -> int:
         _eval_gt(args, ts, poses)
 
     print(eng.timers.report())
+    if eng.cfg.loop.enable and eng.loop_stats["detections_run"] + eng.loop_stats[
+        "skipped_worker_busy"
+    ] > 0:
+        s = eng.loop_stats
+        print(
+            f"loop closure: {s['accepted']} accepted / "
+            f"{s['detections_run']} detections "
+            f"(no-candidate {s['no_candidate']}, verify-rejected "
+            f"{s['rejected_verify']}, odom-check {s['rejected_odom_check']}, "
+            f"pairwise {s['rejected_pairwise']}); "
+            f"{s['skipped_worker_busy']} keyframes skipped (worker busy)"
+        )
+        if s["skipped_worker_busy"] > s["detections_run"]:
+            print(
+                "WARNING: async loop worker overran on most keyframes — "
+                "loop recall is degraded; consider sync mode or a larger "
+                "detection interval"
+            )
     return 0
 
 

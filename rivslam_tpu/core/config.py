@@ -300,6 +300,13 @@ class LoopConfig:
     # reference verifies only the single best match, loop_detector.cpp:219)
     loop_capacity: int = 32  # max simultaneous loop factors in the global solve
     keyframe_capacity: int = 2048  # max keyframes in the loop graph
+    # barometer altitude prior on keyframes (EdgeSE3PriorZ / EdgeSE3Z role,
+    # include/g2o/edge_se3_priorz.hpp:1-76, edge_se3_z.hpp): anchors z drift
+    # to the (first-reading-relative) barometric altitude. Implemented as a
+    # z-only row of the per-axis diagonal translation-prior machinery; a
+    # keyframe with a real GPS fix keeps the GPS prior instead.
+    baro_z_prior: bool = False
+    baro_z_stddev: float = 0.5  # meters
     global_solver: str = "SCHUR"  # SCHUR (exact block elimination) | PCG
     schur_blocks: int = 32  # submap count for the block-Schur solver (the
     # measured v5e sweet spot at keyframe_capacity=2048: 104 ms/solve vs

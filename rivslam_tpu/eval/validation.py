@@ -52,10 +52,17 @@ COURSES: dict[str, dict] = {
     "mine": dict(radius=10.0, omega=0.3, dt=0.25, n_frames=95, capacity=1024,
                  world_points=26000, extent=25.0, n_dynamic=3,
                  doppler_noise=0.08),
+    # 3-lap cp course (omega*dt*n = 18.75 rad = 2.98 laps): the multi-loop
+    # row — repeated revisits force >= 2 closures, exercising last_loop_accum
+    # gating and the pairwise-consistency chain with real previous loops
+    # (VERDICT r2 item #4; loop_detector.cpp:270-297)
+    "multiloop": dict(radius=8.0, omega=0.25, dt=0.25, n_frames=300,
+                      capacity=1024, world_points=20000, extent=30.0),
 }
 
 PRESET_FOR_COURSE = {
     "cp": "cp", "nyl": "nyl", "garden": "garden", "mine": "mine",
+    "multiloop": "cp",
 }
 
 
@@ -120,6 +127,7 @@ def run_course(
         if eng.state.graph is not None else 0
     )
     res["loops_closed"] = n_loops
+    res["loop_stats"] = dict(eng.loop_stats)
 
     # raw odometry keyframe ATE (unaligned — shared start frame)
     odom = np.stack([np.asarray(o["odom"]) for o in outputs])

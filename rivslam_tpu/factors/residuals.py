@@ -117,6 +117,15 @@ def prior_xyz(p, xyz_meas) -> jax.Array:
     return p - xyz_meas
 
 
+def prior_z(p, z_meas) -> jax.Array:
+    """EdgeSE3PriorZ (barometer altitude anchor, edge_se3_priorz.hpp:1-76;
+    EdgeSE3Z is the same residual between two poses, edge_se3_z.hpp). The
+    engine applies it as a z-only row of the per-axis diagonal translation
+    prior (LoopConfig.baro_z_prior) — this scalar form is the unit-testable
+    equivalent."""
+    return p[2:3] - z_meas
+
+
 def prior_quat(R, R_meas) -> jax.Array:
     """EdgeSE3PriorQuat: orientation prior."""
     return lie.so3_log(R_meas.T @ R)

@@ -48,6 +48,7 @@ def dump(engine, directory: str) -> None:
         "kf_alt": [None if np.isnan(a) else float(a) for a in st.kf_alt],
         # SaveMap/dump zero_utm sidecar parity (nodelet:1219-1221)
         "zero_utm": None if st.zero_utm is None else list(map(float, st.zero_utm)),
+        "baro_zero": None if st.baro_zero is None else float(st.baro_zero),
         "gps_kf_since_solve": st.gps_kf_since_solve,
         "n_traj": len(st.trajectory),
         "has_odo": st.odo is not None,
@@ -122,6 +123,7 @@ def load(engine, directory: str) -> None:
     ]
     zu = manifest.get("zero_utm")
     st.zero_utm = None if zu is None else np.asarray(zu, np.float64)
+    st.baro_zero = manifest.get("baro_zero")
     st.gps_kf_since_solve = manifest.get("gps_kf_since_solve", 0)
     c = engine.cfg
     dtype = engine.dtype

@@ -50,6 +50,9 @@ def _cfg(async_loop: bool) -> EngineConfig:
             accum_distance_thresh=40.0,
             min_loop_interval_dist=5.0,
             async_loop=async_loop,
+            # ~92 keyframes on this course; the default 2048-slot graph
+            # makes every per-keyframe SC match pay 8x dead-slot work
+            keyframe_capacity=256,
         ),
     )
 

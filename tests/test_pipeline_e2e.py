@@ -51,7 +51,13 @@ def run():
         # the loop prefilter's drift-scaled ellipses are tuned for
         registration=RegistrationConfig(method="FAST_GICP"),
         backend=BackendConfig(max_solver_iterations=8),
-        loop=LoopConfig(accum_distance_thresh=40.0, min_loop_interval_dist=5.0),
+        loop=LoopConfig(
+            accum_distance_thresh=40.0,
+            min_loop_interval_dist=5.0,
+            # ~92 keyframes on this course; the default 2048-slot graph makes
+            # every per-keyframe SC match pay 8x dead-slot work
+            keyframe_capacity=256,
+        ),
     )
     eng = pipeline.Engine(cfg, dtype=jnp.float64)
     T0 = poses[0]
