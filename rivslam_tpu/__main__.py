@@ -21,7 +21,15 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rivslam_tpu")
-    ap.add_argument("--seq", required=True, help=".npz (rivseq) or .rivbin sequence")
+    ap.add_argument("--seq", required=True,
+                    help=".npz (rivseq), .rivbin, or ROS1 .bag sequence "
+                    "(bags auto-convert to .rivseq.npz next to the file)")
+    ap.add_argument("--radar-topic", default="/radar_enhanced_pcl",
+                    help="bag ingest: radar topic (params.yaml:4)")
+    ap.add_argument("--imu-topic", default="/vectornav/imu",
+                    help="bag ingest: IMU topic (params.yaml:5)")
+    ap.add_argument("--baro-topic", default="/barometer")
+    ap.add_argument("--gps-topic", default="/ublox/fix")
     ap.add_argument("--out", default=None, help="output TUM trajectory file "
                     "(required unless --to-rivbin/--histogram)")
     ap.add_argument("--map", default=None, help="optional output map PCD")
@@ -85,6 +93,28 @@ def main(argv=None) -> int:
     from rivslam_tpu.io import checkpoint, datasets, tum
 
     import dataclasses
+
+    if args.seq.endswith(".bag"):
+        # ROS1 bag ingest in one command (the fire-drill path for the
+        # reference datasets: params.yaml:4-5 topic layout): convert to the
+        # rivseq container next to the bag, then replay that. Reconverts
+        # when the bag is newer than a previous conversion.
+        from rivslam_tpu.io import rosbag1
+
+        conv = args.seq[:-4] + ".rivseq.npz"
+        if (
+            not os.path.exists(conv)
+            or os.path.getmtime(conv) < os.path.getmtime(args.seq)
+        ):
+            rosbag1.convert_bag(
+                args.seq, conv,
+                radar_topic=args.radar_topic, imu_topic=args.imu_topic,
+                baro_topic=args.baro_topic, gps_topic=args.gps_topic,
+            )
+            print(f"converted {args.seq} -> {conv}")
+        else:
+            print(f"using cached conversion {conv}")
+        args.seq = conv
 
     if args.to_rivbin:
         from rivslam_tpu.runtime import native
