@@ -5,8 +5,11 @@ from rivslam_tpu.eval import scaling
 
 
 def test_scaling_harness_runs_and_matches():
+    # pin_fleet=False: the per-core subprocess probes are the REAL
+    # harness's protocol (SCALING_r*.json); the test validates harness
+    # logic in-process to keep CI off the ~30 s/probe jax-import cost
     out = scaling.run_scaling(
-        [1, 2], frames=4, capacity=64, graph_k=64, repeats=1,
+        [1, 2], pin_fleet=False, frames=4, capacity=64, graph_k=64, repeats=1,
         gn_iters=3, imu_capacity=8,
     )
     assert out["device_counts"] == [1, 2]
@@ -32,7 +35,7 @@ def test_schur_blocks_fallback_for_non_dividing_counts():
     must still pick a valid partition (largest divisor of graph_k that is a
     multiple of n), not silently skip or crash."""
     out = scaling.run_scaling(
-        [3], frames=4, capacity=60, graph_k=60, repeats=1,
+        [3], pin_fleet=False, frames=4, capacity=60, graph_k=60, repeats=1,
         gn_iters=2, imu_capacity=8,
     )
     row = out["scaling"][0]
