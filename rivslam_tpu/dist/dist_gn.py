@@ -16,7 +16,7 @@ one machine (SURVEY.md §2.5). Here the same math scales over TPU chips:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rivslam_tpu.core.config import BackendConfig, RegistrationConfig
 from rivslam_tpu.frontend import apdgicp
 from rivslam_tpu.solver import window as win
+
+# Every entry point below memoizes its jitted program on the hashable
+# statics (config dataclasses + Mesh). Building the `@jax.jit` closure
+# inside the call body — the original form — created a NEW jit cache entry
+# per invocation, so repeated calls re-traced (and re-loaded from the
+# persistent compile cache) every time; the round-3 scaling report timed
+# exactly that overhead instead of execution (SCALING_r3_cpu.json's
+# sharded_register at 1 device: 326 ms vs 4.2 ms local for identical math).
+
+
+@lru_cache(maxsize=None)
+def _batched_register_fn(cfg: RegistrationConfig, mesh: Mesh):
+    @jax.jit
+    def run(s, t, g):
+        return jax.vmap(lambda a, b, c: apdgicp.register(a, b, c, cfg))(s, t, g)
+
+    return run
 
 
 def batched_register(
@@ -38,26 +55,11 @@ def batched_register(
     dsh = NamedSharding(mesh, P("data"))
     put = lambda t: jax.tree.map(lambda x: jax.device_put(x, dsh), t)
     sources, targets, guesses = put(sources), put(targets), put(guesses)
-
-    @jax.jit
-    def run(s, t, g):
-        return jax.vmap(lambda a, b, c: apdgicp.register(a, b, c, cfg))(s, t, g)
-
-    return run(sources, targets, guesses)
+    return _batched_register_fn(cfg, mesh)(sources, targets, guesses)
 
 
-def sharded_register(
-    source: apdgicp.PreparedCloud,
-    target: apdgicp.PreparedCloud,
-    guess: jax.Array,
-    cfg: RegistrationConfig,
-    mesh: Mesh,
-    axis: str = "model",
-):
-    """One registration, source points sharded over `axis`; H/b via psum.
-
-    Point count must be divisible by the axis size.
-    """
+@lru_cache(maxsize=None)
+def _sharded_register_fn(cfg: RegistrationConfig, mesh: Mesh, axis: str):
     spec_src = apdgicp.PreparedCloud(
         xyz=P(axis, None), mask=P(axis), cov=P(axis, None, None)
     )
@@ -79,7 +81,33 @@ def sharded_register(
     def run(s, t, g):
         return apdgicp.register(s, t, g, cfg, axis_name=axis)
 
-    return run(source, target, guess)
+    return run
+
+
+def sharded_register(
+    source: apdgicp.PreparedCloud,
+    target: apdgicp.PreparedCloud,
+    guess: jax.Array,
+    cfg: RegistrationConfig,
+    mesh: Mesh,
+    axis: str = "model",
+):
+    """One registration, source points sharded over `axis`; H/b via psum.
+
+    Point count must be divisible by the axis size.
+    """
+    return _sharded_register_fn(cfg, mesh, axis)(source, target, guess)
+
+
+@lru_cache(maxsize=None)
+def _batched_window_solve_fn(
+    cfg: BackendConfig, bias_info: tuple[float, float], mesh: Mesh
+):
+    @jax.jit
+    def run(x, f):
+        return jax.vmap(lambda a, b: win.solve_window(a, b, cfg, bias_info))(x, f)
+
+    return run
 
 
 def batched_window_solve(
@@ -93,12 +121,20 @@ def batched_window_solve(
     dsh = NamedSharding(mesh, P("data"))
     put = lambda t: jax.tree.map(lambda x: jax.device_put(x, dsh), t)
     states, factors = put(states), put(factors)
+    return _batched_window_solve_fn(cfg, tuple(bias_info), mesh)(states, factors)
+
+
+@lru_cache(maxsize=None)
+def _batched_replay_odometry_fn(odo_cfg, reg_cfg: RegistrationConfig, mesh: Mesh):
+    from rivslam_tpu.frontend import replay_device
 
     @jax.jit
-    def run(x, f):
-        return jax.vmap(lambda a, b: win.solve_window(a, b, cfg, bias_info))(x, f)
+    def run(x, m, v, t):
+        return jax.vmap(
+            lambda a, b, c, d: replay_device.replay_odometry(a, b, c, d, odo_cfg, reg_cfg)
+        )(x, m, v, t)
 
-    return run(states, factors)
+    return run
 
 
 def batched_replay_odometry(
@@ -113,16 +149,7 @@ def batched_replay_odometry(
     """Production serving form: S independent sequences sharded over `data`,
     each replayed sequentially on its device (frontend/replay_device.py) —
     throughput scales with chips while per-sequence latency stays fixed."""
-    from rivslam_tpu.frontend import replay_device
-
     dsh = NamedSharding(mesh, P("data"))
     put = lambda x: jax.device_put(x, dsh)
     xyz, mask, ego_vel, times = put(xyz), put(mask), put(ego_vel), put(times)
-
-    @jax.jit
-    def run(x, m, v, t):
-        return jax.vmap(
-            lambda a, b, c, d: replay_device.replay_odometry(a, b, c, d, odo_cfg, reg_cfg)
-        )(x, m, v, t)
-
-    return run(xyz, mask, ego_vel, times)
+    return _batched_replay_odometry_fn(odo_cfg, reg_cfg, mesh)(xyz, mask, ego_vel, times)

@@ -14,7 +14,7 @@ are cross-checked in tests on the virtual multi-device mesh.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +57,29 @@ def solve_pose_graph_sharded(
     )
     K = g.R.shape[0]
     dtype = g.p.dtype
+    run = _sharded_pcg_fn(
+        mesh, axis, K, jnp.dtype(dtype).name, gn_iters, cg_iters, huber_delta
+    )
+    R_fin, p_fin, chi2 = run(
+        g.R, g.p, ei, ej, Rm, pm, info, mask, is_loop, g.anchor_info,
+        g.gps_xyz, g.gps_info, g.gps_mask,
+    )
+    return dataclasses.replace(g, R=R_fin, p=p_fin), chi2
 
+
+@lru_cache(maxsize=None)
+def _sharded_pcg_fn(
+    mesh: Mesh,
+    axis: str,
+    K: int,
+    dtype_name: str,
+    gn_iters: int,
+    cg_iters: int,
+    huber_delta: float,
+):
+    """Memoized jitted program (jit built per call would re-trace every
+    invocation — the scaling harness would then time tracing, not solving)."""
+    dtype = jnp.dtype(dtype_name)
     edge_specs = (P(axis), P(axis), P(axis, None, None), P(axis, None),
                   P(axis, None, None), P(axis), P(axis))
 
@@ -151,8 +173,4 @@ def solve_pose_graph_sharded(
         _, _, _, _, chi2_fin = linearize(R_fin, p_fin)
         return R_fin, p_fin, chi2_fin
 
-    R_fin, p_fin, chi2 = run(
-        g.R, g.p, ei, ej, Rm, pm, info, mask, is_loop, g.anchor_info,
-        g.gps_xyz, g.gps_info, g.gps_mask,
-    )
-    return dataclasses.replace(g, R=R_fin, p=p_fin), chi2
+    return run

@@ -34,7 +34,7 @@ Cross-checked against the PCG solver (loop/global_graph.py) in tests.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -487,8 +487,6 @@ def solve_pose_graph_schur_sharded(
     paths agree to f32 reduction-order noise (asserted at capacity scale in
     tests/test_block_schur.py).
     """
-    from jax.sharding import PartitionSpec as P_
-
     K = g.R.shape[0]
     L = g.loop_i.shape[0]
     S = num_blocks
@@ -499,8 +497,30 @@ def solve_pose_graph_schur_sharded(
             f"num_blocks ({S}) and num_blocks divisible by the mesh axis "
             f"({n_dev}); pick num_blocks with block_schur.effective_blocks"
         )
+    run = _sharded_schur_fn(
+        mesh, axis, K, L, S, gn_iters, huber_delta, jnp.dtype(g.p.dtype).name
+    )
+    with jax.default_matmul_precision("float32"):
+        R_fin, p_fin = run(g)
+    g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
+    _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
+    return g_out, chi2_fin
+
+
+@lru_cache(maxsize=None)
+def _sharded_schur_fn(
+    mesh, axis: str, K: int, L: int, S: int, gn_iters: int,
+    huber_delta: float, dtype_name: str,
+):
+    """Memoized jitted program for the sharded solve. The graph is a traced
+    ARGUMENT (not a closure constant as in the original form) so one
+    compiled program serves every graph of this capacity — the per-call
+    rebuild used to re-trace on every invocation, which is what the round-3
+    scaling report timed (dist_schur "0.1x local" was tracing overhead)."""
+    from jax.sharding import PartitionSpec as P_
+
+    dtype = jnp.dtype(dtype_name)
     B = K // S
-    dtype = g.p.dtype
     P = 2 * S + 2 * L
     Pdim = 6 * (P + 1)
 
@@ -530,28 +550,23 @@ def solve_pose_graph_schur_sharded(
     def back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D):
         return _back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
 
-    def newton_sharded(lin):
-        H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(
-            lin["Hb"], lin["gb"], lin["D"], lin["sdim"]
-        )
-        H_sep, g_sep = _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype)
-        d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
-        d_sep = d_sep.at[6 * P:].set(0.0)
-        return back_substitute(
-            HII_inv_HIS, HII_inv_gI, d_sep, lin["sdim"], lin["D"]
-        ).reshape(K, 6)
-
-    tr_step = _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_sharded)
-
     @jax.jit
-    def run(R0, p0):
+    def run(g):
+        def newton_sharded(lin):
+            H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(
+                lin["Hb"], lin["gb"], lin["D"], lin["sdim"]
+            )
+            H_sep, g_sep = _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype)
+            d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
+            d_sep = d_sep.at[6 * P:].set(0.0)
+            return back_substitute(
+                HII_inv_HIS, HII_inv_gI, d_sep, lin["sdim"], lin["D"]
+            ).reshape(K, 6)
+
+        tr_step = _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_sharded)
         (R_fin, p_fin, _), _ = jax.lax.scan(
-            tr_step, (R0, p0, jnp.asarray(1.0, dtype)), None, length=gn_iters
+            tr_step, (g.R, g.p, jnp.asarray(1.0, dtype)), None, length=gn_iters
         )
         return R_fin, p_fin
 
-    with jax.default_matmul_precision("float32"):
-        R_fin, p_fin = run(g.R, g.p)
-    g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
-    _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
-    return g_out, chi2_fin
+    return run

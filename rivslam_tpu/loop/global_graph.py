@@ -17,6 +17,7 @@ and consistent with the right-multiplicative retraction.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -179,13 +180,18 @@ def _hvp(g: PoseGraph, ei, ej, Ji, Jj, W, v):
     return out + 1e-6 * v
 
 
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "huber_delta"))
 def solve_pose_graph(
     g: PoseGraph,
     gn_iters: int = 10,
     cg_iters: int = 64,
     huber_delta: float = 1.0,
 ) -> tuple[PoseGraph, jax.Array]:
-    """Gauss-Newton with block-Jacobi-preconditioned CG. Returns (graph, chi2)."""
+    """Gauss-Newton with block-Jacobi-preconditioned CG. Returns (graph, chi2).
+
+    Jitted at module scope so repeat solves (engine loop closures, the
+    scaling harness) reuse one compiled program instead of re-tracing the
+    scan body per call."""
     dtype = g.p.dtype
 
     def gn_step(carry, _):

@@ -181,3 +181,29 @@ def test_capacity_scale_f32_sharded_equivalence():
     assert chi2_l < 1e-2 * chi2_init, (chi2_l, chi2_init)
     assert chi2_s < 1e-2 * chi2_init, (chi2_s, chi2_init)
     assert abs(chi2_s - chi2_l) < 5e-3 * chi2_init, (chi2_s, chi2_l, chi2_init)
+
+
+def test_sharded_program_cache_not_stale():
+    """The sharded solver memoizes ONE jitted program per (mesh, shape)
+    signature (block_schur._sharded_schur_fn) with the graph as a traced
+    argument. Solving two DIFFERENT graphs back-to-back must give each
+    graph its own answer — a regression here would mean the first call's
+    graph leaked into the cached program as a baked-in constant."""
+    from rivslam_tpu.dist import mesh as mesh_mod
+
+    m = mesh_mod.make_mesh(1, 4)
+    g_a, *_ = drifted_graph(seed=0)
+    g_b, *_ = drifted_graph(seed=3)
+    # same capacity/shapes -> same cached program serves both
+    a_d, chi2_ad = block_schur.solve_pose_graph_schur_sharded(
+        g_a, m, num_blocks=8, gn_iters=6
+    )
+    b_d, chi2_bd = block_schur.solve_pose_graph_schur_sharded(
+        g_b, m, num_blocks=8, gn_iters=6
+    )
+    a_l, chi2_al = block_schur.solve_pose_graph_schur(g_a, num_blocks=8, gn_iters=6)
+    b_l, chi2_bl = block_schur.solve_pose_graph_schur(g_b, num_blocks=8, gn_iters=6)
+    np.testing.assert_allclose(np.asarray(a_d.p), np.asarray(a_l.p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_d.p), np.asarray(b_l.p), atol=1e-6)
+    # the two problems genuinely differ
+    assert float(jnp.max(jnp.abs(a_l.p - b_l.p))) > 1e-3

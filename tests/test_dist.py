@@ -151,3 +151,24 @@ def test_batched_replay_odometry_sharded():
     )
     for s in range(S):
         np.testing.assert_allclose(np.asarray(batched[s]), np.asarray(single), atol=1e-9)
+
+
+def test_sharded_pcg_program_cache_not_stale():
+    """dist_graph memoizes one jitted program per (mesh, capacity) signature;
+    two different graphs through the same cached program must each match
+    their local solve (guards against the graph leaking in as a constant)."""
+    from rivslam_tpu.dist import dist_graph
+    from rivslam_tpu.loop import global_graph
+    import sys
+    sys.path.insert(0, "tests")
+    from test_block_schur import drifted_graph
+
+    m = mesh_mod.make_mesh(1, 8)
+    for seed in (0, 3):
+        g, *_ = drifted_graph(seed=seed)
+        g_l, chi2_l = global_graph.solve_pose_graph(g, gn_iters=6)
+        g_d, chi2_d = dist_graph.solve_pose_graph_sharded(g, m, gn_iters=6)
+        np.testing.assert_allclose(
+            np.asarray(g_d.p), np.asarray(g_l.p), atol=1e-6
+        )
+        np.testing.assert_allclose(float(chi2_d), float(chi2_l), rtol=1e-6)
