@@ -205,6 +205,12 @@ def register_fast(
     # target features packed [M, 9] for the one-hot gather matmul:
     # gathers are slow on TPU; selecting the matched target's coordinates and
     # covariance components via onehot @ features rides the MXU instead.
+    # (Round-4 A/B on the real v5e: STANDALONE, `jnp.take` rows / top_k are
+    # 3-4x faster than the one-hot matmul (0.285 -> 0.071 ms/batch) — but
+    # INSIDE the vmapped LM while_loop the same swap collapses the whole
+    # bench 4838 -> 3489 fps (take) / 326 fps (top_k): in-loop gathers and
+    # sorts break XLA's loop-body fusion on TPU where the 0/1 matmul fuses
+    # clean. Keep the matmul; the measurement lives in BENCHMARKS.md.)
     tgt_feats = jnp.stack([tx_, ty_, tz_] + list(t_c), axis=1)  # [M, 9]
     # transposed [9, M] layout for the fused Pallas kernel (lane dim = points)
     tgt_feats_t = jnp.stack([tx_, ty_, tz_] + list(t_c), axis=0)
