@@ -65,6 +65,23 @@ elif _jax.config.jax_compilation_cache_dir is None:
         _cache_dir = _os.path.join(
             _os.path.expanduser("~"), ".cache", "rivslam_tpu", "jax_cache"
         )
+    # partition by host-CPU fingerprint: XLA:CPU cache entries embed AOT
+    # machine code for the compiling host's exact feature set, and loading
+    # one on a different microarch can abort the process (observed SIGILL /
+    # hard abort when the same shared cache served two CI boxes)
+    import hashlib as _hashlib
+    import platform as _platform
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _fp_src = next(
+                (_l for _l in _f if _l.startswith("flags")), _platform.machine()
+            )
+    except OSError:
+        _fp_src = _platform.machine()
+    _cache_dir = _os.path.join(
+        _cache_dir, _hashlib.sha1(_fp_src.encode()).hexdigest()[:12]
+    )
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -137,6 +137,19 @@ class RegistrationConfig:
     # at ~2e-5/product (measured det 0.947 after 2000 products).
     # Set to "HIGHEST" for bitwise round-1 behavior.
     fast_matmul_precision: str = "HIGH"
+    # Recall target for the approx-kNN pass that picks the k-th-neighbor
+    # distance threshold in the fast covariance path (lax.approx_min_k,
+    # TPU PartialReduce). Round-4 A/B on v5e at bench shapes (B=256,
+    # N=M=1024, k=20, amortized-scan protocol): the default 0.95 costs
+    # 12.5 ms/batch — the single largest op in prepare — while 0.90 runs
+    # 3x faster (saving 9.3 ms/batch) and only widens the neighborhood
+    # from a mean 20.3 to 21.4 selected neighbors (p95 21 -> 24): missed
+    # true-top-k candidates RAISE the threshold, so covariances average a
+    # couple of extra near-neighbors — the same approximation family as
+    # the reference's kd-tree. Registration error unchanged (bench
+    # median_terr 0.039 m at both settings). Set 0.95+ to mimic round-3
+    # behavior; the exact path (use_fast_path=False) is never affected.
+    approx_knn_recall: float = 0.90
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
     dtype: str = "float32"

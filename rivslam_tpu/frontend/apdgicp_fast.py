@@ -54,7 +54,7 @@ def estimate_covariances_fast(
     n2 = jnp.sum(sent * sent, axis=1)
     d2 = n2[:, None] + n2[None, :] - 2.0 * jnp.matmul(sent, sent.T, precision=prec)
     k = cfg.k_correspondences
-    vals, _ = jax.lax.approx_min_k(d2, k)
+    vals, _ = jax.lax.approx_min_k(d2, k, recall_target=cfg.approx_knn_recall)
     kth = vals[:, -1]
     W = ((d2 <= kth[:, None]) & mask[None, :]).astype(dtype)  # [N, M]
     feats = jnp.stack(

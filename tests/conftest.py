@@ -19,8 +19,25 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the suite is compile-dominated; repeat runs
-# (including the driver's) reuse kernels across processes
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# (including the driver's) reuse kernels across processes.
+# The cache is partitioned by a host-CPU fingerprint: XLA:CPU stores AOT
+# machine code compiled for the build host's exact feature set, and loading
+# an entry from a different microarch aborts the process ("Machine type used
+# for XLA:CPU compilation doesn't match ... could lead to execution errors
+# such as SIGILL" — observed as a hard xdist worker crash mid-suite when the
+# CI box changed). Same machine -> same subdir -> stays warm.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _fp_src = next((l for l in _f if l.startswith("flags")), platform.machine())
+except OSError:
+    _fp_src = platform.machine()
+_fp = hashlib.sha1(_fp_src.encode()).hexdigest()[:12]
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache", _fp
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
