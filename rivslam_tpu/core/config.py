@@ -140,16 +140,20 @@ class RegistrationConfig:
     # Recall target for the approx-kNN pass that picks the k-th-neighbor
     # distance threshold in the fast covariance path (lax.approx_min_k,
     # TPU PartialReduce). Round-4 A/B on v5e at bench shapes (B=256,
-    # N=M=1024, k=20, amortized-scan protocol): the default 0.95 costs
-    # 12.5 ms/batch — the single largest op in prepare — while 0.90 runs
-    # 3x faster (saving 9.3 ms/batch) and only widens the neighborhood
-    # from a mean 20.3 to 21.4 selected neighbors (p95 21 -> 24): missed
-    # true-top-k candidates RAISE the threshold, so covariances average a
-    # couple of extra near-neighbors — the same approximation family as
-    # the reference's kd-tree. Registration error unchanged (bench
-    # median_terr 0.039 m at both settings). Set 0.95+ to mimic round-3
-    # behavior; the exact path (use_fast_path=False) is never affected.
-    approx_knn_recall: float = 0.90
+    # N=M=1024, k=20): 0.95 costs 12.5 ms/batch — the single largest op
+    # in covariance prepare — while 0.90 runs 3x faster (+23% headline
+    # fps, ~2x aggregate 8-fleet replay fps) at IDENTICAL per-pair error
+    # (bench median_terr 0.039 m both ways). The default stays 0.95
+    # because the cheaper setting's threshold inflation (mean +3.3% d2,
+    # p95 +15%) COMPOUNDS over trajectories: controlled course A/B
+    # measured odometry-ATE +31% on garden and +8% on nyl (full-loop ATE
+    # +30% / -1%). Set 0.90 for throughput-critical fleet/batch serving
+    # where loop closure owns drift. Internals quantize: (k=20, r=0.95)
+    # and (k=48, r=0.90) produce bit-identical thresholds at the same
+    # cost, so there is no cheaper intermediate operating point; r=0.90
+    # equals k=28's output exactly, and k=64 r=0.90 is exact-but-31ms.
+    # The exact path (use_fast_path=False) is never affected.
+    approx_knn_recall: float = 0.95
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
     dtype: str = "float32"

@@ -57,6 +57,24 @@ def test_fast_vmap(scene):
         np.testing.assert_allclose(np.asarray(res.T[i]), np.asarray(ref.T), atol=1e-6)
 
 
+def test_approx_knn_recall_knob(scene):
+    """The throughput preset (approx_knn_recall=0.90) must plumb through and
+    produce valid regularized covariances; on CPU approx_min_k falls back
+    near-exact, so this checks plumbing + statistical sanity, while the
+    accuracy trade itself is measured at course level (BENCHMARKS.md)."""
+    import dataclasses
+
+    s, t, T_rel, cfg = scene
+    fast = apdgicp_fast.estimate_covariances_fast(
+        s.xyz, s.mask, dataclasses.replace(cfg, approx_knn_recall=0.90)
+    )
+    ref = apdgicp_fast.estimate_covariances_fast(s.xyz, s.mask, cfg)
+    m = np.asarray(s.mask)
+    assert np.isfinite(np.asarray(fast.cov)[m]).all()
+    diff = np.abs(np.asarray(fast.cov) - np.asarray(ref.cov)).max(axis=(1, 2))[m]
+    assert (diff < 0.05).mean() > 0.9, (diff.mean(), (diff < 0.05).mean())
+
+
 def test_fast_covariance_estimation(scene):
     """approx-kNN covariances are statistically equivalent to the exact path:
     same masks, near-identical regularized covariances for most points."""
