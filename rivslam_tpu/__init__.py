@@ -85,4 +85,55 @@ elif _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+
+def _patch_atomic_cache_writes() -> None:
+    """Make persistent-cache writes atomic (tmp + os.replace).
+
+    jax's LRUCache.put writes entries with a bare ``cache_path.write_bytes``
+    and takes NO lock unless eviction is enabled — a concurrent reader (e.g.
+    another pytest-xdist worker or a process-fleet replay sharing this
+    repo's cache) can read a partially-written entry, and deserializing the
+    truncated executable segfaults the process (observed repeatedly as
+    xdist 'node down' crashes inside compilation_cache.get_executable_and
+    _time during concurrent cold builds). Writing to a unique temp file in
+    the same directory and renaming over the final name guarantees readers
+    only ever see complete entries. Best-effort: silently skips if jax
+    internals move."""
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:
+        return
+    if getattr(_lru.LRUCache.put, "_rivslam_atomic", False):
+        return
+
+    def _atomic_put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        if self.eviction_enabled and len(val) > self.max_size:
+            return
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        if self.eviction_enabled:
+            self.lock.acquire(timeout=self.lock_timeout_secs)
+        try:
+            if cache_path.exists():
+                return
+            self._evict_if_needed(additional_size=len(val))
+            tmp = self.path / f".{key}.{_os.getpid()}.tmp"
+            tmp.write_bytes(val)
+            _os.replace(tmp, cache_path)
+            if self.eviction_enabled:
+                import time as _time
+
+                timestamp = _time.time_ns().to_bytes(8, "little")
+                (self.path / f"{key}{_lru._ATIME_SUFFIX}").write_bytes(timestamp)
+        finally:
+            if self.eviction_enabled:
+                self.lock.release()
+
+    _atomic_put._rivslam_atomic = True
+    _lru.LRUCache.put = _atomic_put
+
+
+_patch_atomic_cache_writes()
+
 from rivslam_tpu.core import lie  # noqa: F401

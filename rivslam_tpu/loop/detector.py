@@ -165,18 +165,37 @@ def pairwise_check(
     T_lc_ij: jax.Array,
     odom_i: jax.Array,
     odom_j: jax.Array,
-    prev_loop_i_odom: jax.Array,
-    prev_loop_j_odom: jax.Array,
+    prev_loop_old_odom: jax.Array,
+    prev_loop_new_odom: jax.Array,
     prev_T_lc: jax.Array,
     have_prev: jax.Array,
     cfg: LoopConfig,
 ):
-    """Pairwise consistency vs the previous loop (loop_detector.cpp:270-297):
-    T_err = T_lc_ij * T_odom(i->l) * T_lc_kl^-1 * T_odom(k->j)."""
-    T_odom_li = lie.se3_inverse(odom_i) @ prev_loop_j_odom
-    T_lc_kl_inv = lie.se3_inverse(prev_T_lc)
-    T_odom_jk = lie.se3_inverse(prev_loop_i_odom) @ odom_j
-    T_err = T_lc_ij @ T_odom_li @ T_lc_kl_inv @ T_odom_jk
+    """Pairwise consistency vs the previous loop (loop_detector.cpp:281-286).
+
+    Frames: the new candidate closes j (new keyframe) against i (old
+    keyframe); the previous accepted loop closed k (its new keyframe)
+    against l (its old keyframe). The consistency cycle
+        T_err = T(j<-i)_lc . T_odom(i<-l) . T_lc(l<-k) . T_odom(k<-j)
+    telescopes to identity when both loop measurements agree with the
+    odometry chained between their endpoints.
+
+    Conventions here vs the reference: `T_lc_ij` is T(j<-i) (the caller
+    passes se3_inverse of the verify-registration result, which maps the
+    new cloud into the candidate frame); `prev_T_lc` is the STORED previous
+    measurement T(l<-k) and is used directly — the reference stores the
+    opposite direction and therefore inverts (loopPoseQueue.at(i).inverse(),
+    cpp:282). Round-4 fix: this function previously swapped the previous
+    loop's endpoints (using k where l belongs and vice versa) AND inverted
+    prev_T_lc, so after the first accepted loop T_err carried ~2x the
+    per-lap drift instead of ~0 and every later loop was rejected
+    (88/88 pairwise rejections, median 7.4 m / 0.85 rad T_err on the 3-lap
+    course; correct composition: median 0.4 m — see test_loop.py's cycle
+    tests).
+    """
+    T_odom_il = lie.se3_inverse(odom_i) @ prev_loop_old_odom
+    T_odom_kj = lie.se3_inverse(prev_loop_new_odom) @ odom_j
+    T_err = T_lc_ij @ T_odom_il @ prev_T_lc @ T_odom_kj
     ok = (jnp.linalg.norm(T_err[:3, 3]) <= cfg.pairwise_check_trans_thresh) & (
         lie.rotation_angle(T_err[:3, :3]) <= cfg.pairwise_check_rot_thresh
     )

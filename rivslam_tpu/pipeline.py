@@ -825,6 +825,7 @@ class Engine:
             "kf_clouds": list(st.kf_clouds),
             "kf_accum": list(st.kf_accum),
             "kf_alt": list(st.kf_alt),
+            "kf_odom": list(st.kf_odom),
             "kf_count": st.kf_count,
             "last_loop_accum": st.last_loop_accum,
             "prev_loop": st.prev_loop,
@@ -1046,9 +1047,17 @@ class Engine:
             if not bool(ok):
                 stats["rejected_verify"] += 1
                 return None
-        # odometry check: T_lc maps new cloud into candidate frame
+        # odometry check: T_lc maps new cloud into candidate frame.
+        # BOTH poses must be RAW scan2scan odometry (loop_detector.cpp:252,
+        # 278-283 uses keyframes[...]->odom_scan2scan throughout): an earlier
+        # revision used the graph estimate for odom_i, which is loop-CORRECTED
+        # after the first closure while odom_j stayed raw — the mixed frames
+        # inflated the unnormalized pairwise error by the correction magnitude
+        # and rejected every subsequent loop (observed 88/88 pairwise
+        # rejections on the 3-lap course; the per-edge-normalized odometry
+        # check masked the same mix by dividing by num_between).
         T_lc = res.T  # new (j=k) -> cand (i=idx)
-        odom_i = lie.se3_matrix(graph.R[idx], graph.p[idx])
+        odom_i = jnp.asarray(snap["kf_odom"][idx], self.dtype)
         odom_j = odom_pose
         if not bool(
             detector.odometry_check(

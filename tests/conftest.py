@@ -38,6 +38,11 @@ _fp = hashlib.sha1(_fp_src.encode()).hexdigest()[:12]
 _cache_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache", _fp
 )
+# RIVSLAM_TEST_NO_CACHE=1 runs the suite without the persistent cache —
+# the escape hatch while jaxlib's (de)serialization segfaults are live
+# (see test_scaling.py's fixture for the always-crashy case)
+if os.environ.get("RIVSLAM_TEST_NO_CACHE"):
+    _cache_dir = None
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -186,6 +186,62 @@ def test_odometry_and_pairwise_checks():
     assert not bool(detector.odometry_check(bad, odom_i, odom_j, jnp.asarray(10), cfg))
 
 
+def _se3(yaw, t):
+    return np.asarray(
+        lie.se3_matrix(lie.so3_exp(jnp.asarray([0.0, 0.0, yaw], jnp.float64)),
+                       jnp.asarray(t, jnp.float64))
+    )
+
+
+def test_pairwise_check_cycle_identity():
+    """Two consistent loops on a drifting two-lap course must PASS the
+    pairwise check, and a corrupted previous measurement must fail it
+    (loop_detector.cpp:281-286). Regression for the round-4 composition fix:
+    the old code swapped the previous loop's endpoints and inverted the
+    stored measurement, so the consistent case below failed with a T_err of
+    roughly twice the per-lap drift (it rejected 88/88 real candidates on
+    the 3-lap validation course)."""
+    cfg = CFG
+    # ground truth: keyframes l, i adjacent on lap 1; k, j adjacent on lap 2
+    # revisiting the same spots (same GT poses a lap later)
+    gt_l = _se3(0.3, [5.0, 0.0, 0.0])
+    gt_i = _se3(0.45, [6.0, 1.0, 0.0])
+    gt_k, gt_j = gt_l, gt_i
+    # odometry drifts: lap 1 has a small bias; by lap 2 it has accumulated a
+    # yaw + translation offset D (odom = D_n @ gt with D growing over time)
+    D1 = _se3(0.02, [0.10, -0.05, 0.0])
+    D2 = _se3(0.15, [1.20, 0.60, 0.1])  # lap-2 accumulated drift
+    odom_l, odom_i = D1 @ gt_l, D1 @ gt_i
+    odom_k, odom_j = D2 @ gt_k, D2 @ gt_j
+    # exact loop measurements from GT: stored convention T(old <- new)
+    prev_T_lc = jnp.asarray(np.linalg.inv(gt_l) @ gt_k)  # == identity here
+    T_lc = jnp.asarray(np.linalg.inv(gt_i) @ gt_j)  # new loop, old <- new
+    ok = detector.pairwise_check(
+        lie.se3_inverse(T_lc),  # caller convention: T(j <- i)
+        jnp.asarray(odom_i), jnp.asarray(odom_j),
+        jnp.asarray(odom_l), jnp.asarray(odom_k),
+        prev_T_lc, jnp.asarray(True), cfg,
+    )
+    assert bool(ok), "consistent loops must pass the pairwise cycle"
+    # corrupt the previous measurement well past the 1.5 m gate
+    bad_prev = jnp.asarray(_se3(0.5, [4.0, 0.0, 0.0])) @ prev_T_lc
+    bad = detector.pairwise_check(
+        lie.se3_inverse(T_lc),
+        jnp.asarray(odom_i), jnp.asarray(odom_j),
+        jnp.asarray(odom_l), jnp.asarray(odom_k),
+        bad_prev, jnp.asarray(True), cfg,
+    )
+    assert not bool(bad), "inconsistent previous loop must fail"
+    # no previous loop -> vacuous pass
+    vac = detector.pairwise_check(
+        lie.se3_inverse(T_lc),
+        jnp.asarray(odom_i), jnp.asarray(odom_j),
+        jnp.asarray(odom_l), jnp.asarray(odom_k),
+        bad_prev, jnp.asarray(False), cfg,
+    )
+    assert bool(vac)
+
+
 def test_verify_with_yaw_guess():
     """SC-yaw-seeded verification recovers a 30-degree rotated revisit that a
     cold start struggles with."""
