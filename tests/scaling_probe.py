@@ -25,8 +25,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# keep the crash surface minimal: no persistent-cache writes in the probe
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# The persistent cache stays ENABLED here: the known jaxlib crash modes
+# (serialize-segfault on these big multi-device programs, deserialize-
+# segfault on a bad read) kill only this isolated subprocess and the test
+# retries — while a successful write makes every later CI run load the
+# ~150 s of probe compiles in milliseconds. The package import below
+# installs the atomic-write patch, so a crash mid-write cannot leave a
+# truncated entry behind.
 
 
 def main() -> int:
