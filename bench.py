@@ -114,6 +114,9 @@ def main():
         optimizer=os.environ.get("RIVSLAM_BENCH_OPT", "LM"),
         # A/B the fused Pallas correspondence kernel (ops/pallas_nn)
         use_pallas_correspondence=bool(int(os.environ.get("RIVSLAM_BENCH_PALLAS", "0"))),
+        # A/B the covariance neighborhood method (KNN faithful default;
+        # RBF = GPU_RBF_KERNEL parity, no top-k in prepare)
+        covariance_method=os.environ.get("RIVSLAM_BENCH_COV", "KNN"),
     )  # launch-file runtime params (eps=0.1 etc.)
 
     srcs, tgts, gt_rel = load_pairs(BATCH, CAPACITY)

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
     ap.add_argument("--imu-capacity", type=int, default=64)
     ap.add_argument("--f64", action="store_true", help="run in float64 (CPU debugging)")
     ap.add_argument("--method", default=None, help="override registration method")
+    ap.add_argument("--cov-method", default=None, choices=("KNN", "RBF"),
+                    help="covariance neighborhood method: KNN (reference "
+                    "pipeline default) or RBF (GPU_RBF_KERNEL parity, "
+                    "top-k-free prepare — fastest on TPU)")
     ap.add_argument("--eval-gt", default=None, help="TUM ground truth for ATE report")
     ap.add_argument("--viz", default=None, help="prefix for PLY/JSON visualization export")
     ap.add_argument("--outlier-removal", default=None,
@@ -131,6 +135,12 @@ def main(argv=None) -> int:
         cfg = presets.get(args.preset)
     else:
         cfg = EngineConfig()
+    if args.cov_method:
+        cfg = dataclasses.replace(
+            cfg, registration=dataclasses.replace(
+                cfg.registration, covariance_method=args.cov_method
+            ),
+        )
     if args.method:
         cfg = dataclasses.replace(
             cfg, registration=dataclasses.replace(cfg.registration, method=args.method)

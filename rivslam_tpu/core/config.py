@@ -154,6 +154,21 @@ class RegistrationConfig:
     # equals k=28's output exactly, and k=64 r=0.90 is exact-but-31ms.
     # The exact path (use_fast_path=False) is never affected.
     approx_knn_recall: float = 0.95
+    # Covariance neighborhood method (FastVGICPCuda NearestNeighborMethod,
+    # fast_vgicp_cuda.hpp:21):
+    #   "KNN" — k-nearest neighborhoods (CPU kd-tree / GPU_BRUTEFORCE
+    #     parity); the reference pipeline's default and ours.
+    #   "RBF" — GPU_RBF_KERNEL parity (covariance_estimation_rbf.cu:78-160):
+    #     Gaussian-weighted moments w = exp(-kernel_width * d^2), gated at
+    #     max_dist, over ALL points. No top-k anywhere — the prepare stage
+    #     becomes two MXU matmuls + one exp, removing the approx_min_k pass
+    #     that dominates KNN prepare (12.5 of 15.8 ms/batch at bench shapes).
+    #     Reference quirk kept: `kernel_width` is used directly as the
+    #     exponent factor (covariance_estimation_rbf.cu:80 reads
+    #     constants[0] — the "width" is really an inverse length^2).
+    covariance_method: str = "KNN"
+    rbf_kernel_width: float = 0.25  # fast_vgicp_cuda.cu:25
+    rbf_max_dist: float = 3.0  # fast_vgicp_cuda.cu:26 (setKernelWidth(-1) => 5*width)
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
     dtype: str = "float32"

@@ -71,7 +71,12 @@ def _interp_gt(gt_poses: np.ndarray, times: np.ndarray, stamps) -> np.ndarray:
     return gt_poses[idx]
 
 
-def build_course_cfg(course: str, method: str = "FAST_APDGICP", loop_on: bool = True):
+def build_course_cfg(
+    course: str,
+    method: str = "FAST_APDGICP",
+    loop_on: bool = True,
+    reg_overrides: dict | None = None,
+):
     """Engine config for a validation course (shared with eval/latency.py)."""
     cfg = presets.get(PRESET_FOR_COURSE[course])
     # synthetic scans are instantaneous; the simulator's world has no
@@ -81,7 +86,9 @@ def build_course_cfg(course: str, method: str = "FAST_APDGICP", loop_on: bool = 
         preprocess=dataclasses.replace(
             cfg.preprocess, enable_deskew=False, enable_under_floor_removal=False
         ),
-        registration=dataclasses.replace(cfg.registration, method=method),
+        registration=dataclasses.replace(
+            cfg.registration, method=method, **(reg_overrides or {})
+        ),
         backend=dataclasses.replace(cfg.backend, max_solver_iterations=8),
         loop=dataclasses.replace(
             cfg.loop,
@@ -106,13 +113,14 @@ def run_course(
     seed: int = 21,
     dtype=jnp.float32,
     sim_overrides: dict | None = None,
+    reg_overrides: dict | None = None,
 ) -> dict:
     """Simulate the course, replay it through the engine, score it."""
     params = dict(COURSES[course])
     params.update(sim_overrides or {})
     seq, _ = synthetic.simulate_sequence(seed=seed, **params)
 
-    cfg = build_course_cfg(course, method, loop_on)
+    cfg = build_course_cfg(course, method, loop_on, reg_overrides)
     eng = pipeline.Engine(cfg, dtype=dtype)
     outputs = datasets.replay(eng, seq, capacity=params["capacity"])
 
@@ -163,6 +171,11 @@ def main(argv=None) -> None:
     ap.add_argument("--loop", default="on,off")
     ap.add_argument("--seed", default="21", help="seed or comma list (averaged)")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument(
+        "--cov", default="KNN", choices=("KNN", "RBF"),
+        help="covariance neighborhood method (RegistrationConfig"
+        ".covariance_method A/B)",
+    )
     ap.add_argument("--json", default=None)
     ap.add_argument(
         "--cpu", action="store_true",
@@ -190,8 +203,13 @@ def main(argv=None) -> None:
             for lp in args.loop.split(","):
                 per_seed = []
                 for sd in seeds:
+                    reg_ov = (
+                        {"covariance_method": args.cov}
+                        if args.cov != "KNN" else None
+                    )
                     r = run_course(course, method, lp == "on", seed=sd,
-                                   dtype=dtype)
+                                   dtype=dtype, reg_overrides=reg_ov)
+                    r["covariance_method"] = args.cov
                     per_seed.append(r)
                     print(json.dumps(r), flush=True)
                 agg = dict(per_seed[0])

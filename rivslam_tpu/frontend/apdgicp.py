@@ -69,15 +69,38 @@ def estimate_covariances(
     """
     from rivslam_tpu.core.pointcloud import SENTINEL
 
-    sxyz = jnp.where(mask[..., None], xyz, SENTINEL)
-    idx, d2 = knn.knn(sxyz, sxyz, mask, cfg.k_correspondences)
-    nb = jnp.take(xyz, idx, axis=-2)  # [N, k, 3]
-    w = jnp.isfinite(d2).astype(xyz.dtype)  # valid neighbor flags
-    wn = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
-    mean = jnp.sum(nb * w[..., None], axis=-2) / wn
-    cent = (nb - mean[..., None, :]) * w[..., None]
-    # NOTE reference divides by k (not n_valid); with full scans they agree.
-    cov = jnp.einsum("...ki,...kj->...ij", cent, cent) / wn[..., None]
+    if cfg.covariance_method == "RBF":
+        # GPU_RBF_KERNEL parity (covariance_estimation_rbf.cu:78-160):
+        # Gaussian-weighted moments over ALL points, w = exp(-kw * d2),
+        # zeroed beyond max_dist; cov = E_w[xx^T] - mean mean^T (cu:46-53).
+        sxyz = jnp.where(mask[..., None], xyz, SENTINEL)
+        n2 = jnp.sum(sxyz * sxyz, axis=-1)
+        d2 = jnp.maximum(
+            n2[..., :, None] + n2[..., None, :]
+            - 2.0 * jnp.matmul(sxyz, jnp.swapaxes(sxyz, -1, -2)),
+            0.0,
+        )
+        w = jnp.exp(-cfg.rbf_kernel_width * d2)
+        w = jnp.where(
+            (d2 <= cfg.rbf_max_dist**2) & mask[..., None, :], w, 0.0
+        ).astype(xyz.dtype)  # [N, M]
+        sw = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+        mean = jnp.matmul(w, xyz) / sw
+        exx = (
+            jnp.einsum("...nm,...mi,...mj->...nij", w, xyz, xyz)
+            / sw[..., None]
+        )
+        cov = exx - mean[..., :, None] * mean[..., None, :]
+    else:
+        sxyz = jnp.where(mask[..., None], xyz, SENTINEL)
+        idx, d2 = knn.knn(sxyz, sxyz, mask, cfg.k_correspondences)
+        nb = jnp.take(xyz, idx, axis=-2)  # [N, k, 3]
+        w = jnp.isfinite(d2).astype(xyz.dtype)  # valid neighbor flags
+        wn = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
+        mean = jnp.sum(nb * w[..., None], axis=-2) / wn
+        cent = (nb - mean[..., None, :]) * w[..., None]
+        # NOTE reference divides by k (not n_valid); with full scans they agree.
+        cov = jnp.einsum("...ki,...kj->...ij", cent, cent) / wn[..., None]
 
     if cfg.regularization == "NONE":
         cov_reg = cov
@@ -380,10 +403,13 @@ def register(
 
 
 def prepare(xyz, mask, cfg: RegistrationConfig) -> PreparedCloud:
-    """Covariance estimation honoring cfg.use_fast_path."""
+    """Covariance estimation honoring cfg.use_fast_path and
+    cfg.covariance_method (KNN | RBF)."""
     if cfg.use_fast_path and cfg.regularization == "PLANE":
         from rivslam_tpu.frontend import apdgicp_fast
 
+        if cfg.covariance_method == "RBF":
+            return apdgicp_fast.estimate_covariances_rbf_fast(xyz, mask, cfg)
         return apdgicp_fast.estimate_covariances_fast(xyz, mask, cfg)
     return estimate_covariances(xyz, mask, cfg)
 

@@ -57,12 +57,49 @@ def estimate_covariances_fast(
     vals, _ = jax.lax.approx_min_k(d2, k, recall_target=cfg.approx_knn_recall)
     kth = vals[:, -1]
     W = ((d2 <= kth[:, None]) & mask[None, :]).astype(dtype)  # [N, M]
+    return _weighted_moments_to_prepared(xyz, mask, W, prec)
+
+
+def estimate_covariances_rbf_fast(
+    xyz: jax.Array, mask: jax.Array, cfg: RegistrationConfig
+) -> apdgicp.PreparedCloud:
+    """RBF-kernel covariance estimation (PLANE only) — GPU_RBF_KERNEL parity
+    (covariance_estimation_rbf.cu:78-160).
+
+    Every point's neighborhood is ALL points weighted by
+    w = exp(-kernel_width * d2), zeroed beyond max_dist
+    (covariance_estimation_rbf.cu:76-81) — so the whole prepare is the
+    distance matrix + one exp + one [N,M]@[M,10] moment matmul. No top-k:
+    this removes the approx_min_k pass that dominates the KNN prepare.
+    """
+    from rivslam_tpu.core.pointcloud import SENTINEL
+
+    dtype = xyz.dtype
+    prec = _bulk_precision(cfg)
+    sent = jnp.where(mask[:, None], xyz, SENTINEL)
+    n2 = jnp.sum(sent * sent, axis=1)
+    d2 = n2[:, None] + n2[None, :] - 2.0 * jnp.matmul(sent, sent.T, precision=prec)
+    d2 = jnp.maximum(d2, 0.0)
+    md2 = cfg.rbf_max_dist * cfg.rbf_max_dist
+    # reference quirk: kernel_width is the exponent factor itself (cu:80)
+    W = jnp.exp(-cfg.rbf_kernel_width * d2)
+    W = jnp.where((d2 <= md2) & mask[None, :], W, 0.0).astype(dtype)
+    return _weighted_moments_to_prepared(xyz, mask, W, prec)
+
+
+def _weighted_moments_to_prepared(
+    xyz: jax.Array, mask: jax.Array, W: jax.Array, prec
+) -> apdgicp.PreparedCloud:
+    """Shared tail: weighted neighbor moments -> covariance -> closed-form
+    PLANE regularization (NormalDistribution::finalize,
+    covariance_estimation_rbf.cu:46-53: cov = E_w[xx^T] - mean mean^T)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     feats = jnp.stack(
         [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z],
         axis=1,
     )  # [M, 10]
     acc = jnp.matmul(W, feats, precision=prec)  # [N, 10] — one MXU pass
-    cnt = jnp.maximum(acc[:, 0], 1.0)
+    cnt = jnp.maximum(acc[:, 0], 1e-6)
     mx, my, mz = acc[:, 1] / cnt, acc[:, 2] / cnt, acc[:, 3] / cnt
     c00 = acc[:, 4] / cnt - mx * mx
     c01 = acc[:, 5] / cnt - mx * my

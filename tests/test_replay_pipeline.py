@@ -77,13 +77,31 @@ def test_replay_fleet_matches_per_sequence():
         np.testing.assert_array_equal(fleet["is_keyframe"][b], rep["is_keyframe"])
 
 
-def test_replay_fleet_sharded_virtual_mesh():
+import pytest
+
+
+@pytest.fixture
+def _no_persistent_cache_writes():
+    """Serializing large SHARDED executables into the persistent compilation
+    cache segfaults inside jaxlib (compilation_cache.put_executable_and_time)
+    on the CPU backend — same crash as tests/test_scaling.py's module guard,
+    observed here on the sharded fleet-replay compile (xdist 'node down'
+    killing the suite). Raise the write threshold around just this test;
+    cache READS are unaffected."""
+    import jax
+
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
+def test_replay_fleet_sharded_virtual_mesh(_no_persistent_cache_writes):
     """Fleet replay over a 'data'-sharded mesh executes and matches the
     unsharded fleet (8 virtual CPU devices via conftest XLA_FLAGS)."""
     import jax
 
     if len(jax.devices()) < 2:
-        import pytest
         pytest.skip("needs multiple devices")
     from jax.sharding import Mesh
     import numpy as _np
