@@ -142,6 +142,9 @@ def main(argv=None) -> int:
                     help="force the host CPU backend (the container pins a "
                     "TPU relay; host-driver latency through a ~100 ms/dispatch "
                     "tunnel measures the link, not the SLAM)")
+    ap.add_argument("--cov", default="KNN", choices=("KNN", "RBF"),
+                    help="covariance neighborhood method A/B "
+                    "(RegistrationConfig.covariance_method)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -174,6 +177,12 @@ def main(argv=None) -> int:
     cfg = dataclasses.replace(
         cfg, backend=dataclasses.replace(cfg.backend, optimizer=args.optimizer)
     )
+    if args.cov != "KNN":
+        cfg = dataclasses.replace(
+            cfg, registration=dataclasses.replace(
+                cfg.registration, covariance_method=args.cov
+            ),
+        )
     eng = pipeline.Engine(cfg, dtype=jnp.float32, seed=0)
 
     t0 = time.perf_counter()
@@ -191,6 +200,7 @@ def main(argv=None) -> int:
         "frames": args.frames,
         "capacity": args.capacity,
         "optimizer": args.optimizer,
+        "covariance_method": args.cov,
         "compile_s": round(compile_s, 2),
         "ms_per_frame": round(ms_frame, 3),
         "frames_per_s": round(args.frames / dt, 1),
