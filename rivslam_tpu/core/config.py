@@ -166,6 +166,12 @@ class RegistrationConfig:
     #     Reference quirk kept: `kernel_width` is used directly as the
     #     exponent factor (covariance_estimation_rbf.cu:80 reads
     #     constants[0] — the "width" is really an inverse length^2).
+    #     Round-4 A/B on v5e: +51% headline throughput (6798 vs 4502 fps)
+    #     at better per-pair error (0.030 vs 0.039 m), and course-level
+    #     full-ATE improves on 6 of 8 validation arms (nyl loop 2.08->0.70,
+    #     garden loop 2.17->0.92 m) but regresses on small dense courses
+    #     (cp loop 0.50->0.76 m) — see BENCHMARKS.md + VALIDATION_r4_rbf
+    #     .json. Default stays KNN (the reference pipeline's own default).
     covariance_method: str = "KNN"
     rbf_kernel_width: float = 0.25  # fast_vgicp_cuda.cu:25
     rbf_max_dist: float = 3.0  # fast_vgicp_cuda.cu:26 (setKernelWidth(-1) => 5*width)
