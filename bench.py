@@ -125,57 +125,61 @@ def main():
     tgt_xyz, tgt_mask = stack(tgts, "xyz"), stack(tgts, "mask")
     guess = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * BATCH)
 
-    @jax.jit
-    def chained(sx, sm, tx, tm, g):
-        # target covariances are estimated ONCE and cached across frames,
-        # exactly like the pipeline (the keyframe's PreparedCloud is reused
-        # until swapped, odometry.py); per-frame work = source covariance
-        # estimation + LM registration.
-        tgt = jax.vmap(lambda a, b: apdgicp.prepare(a, b, cfg))(tx, tm)
+    def measure(mcfg):
+        @jax.jit
+        def chained(sx, sm, tx, tm, g):
+            # target covariances are estimated ONCE and cached across frames,
+            # exactly like the pipeline (the keyframe's PreparedCloud is
+            # reused until swapped, odometry.py); per-frame work = source
+            # covariance estimation + LM registration.
+            tgt = jax.vmap(lambda a, b: apdgicp.prepare(a, b, mcfg))(tx, tm)
 
-        def body(carry, _):
-            eps = carry
-            src = jax.vmap(lambda a, b: apdgicp.prepare(a, b, cfg))(sx + eps, sm)
-            res = jax.vmap(
-                lambda a, b, c: apdgicp.register_dispatch(a, b, c, cfg)
-            )(src, tgt, g)
-            # next round's input depends on this round's output: serialized
-            return (
-                jnp.sum(res.error) * 1e-12 + eps + 1e-6,
-                (res.converged, res.T, res.iterations),
-            )
+            def body(carry, _):
+                eps = carry
+                src = jax.vmap(lambda a, b: apdgicp.prepare(a, b, mcfg))(sx + eps, sm)
+                res = jax.vmap(
+                    lambda a, b, c: apdgicp.register_dispatch(a, b, c, mcfg)
+                )(src, tgt, g)
+                # next round's input depends on this round's output: serialized
+                return (
+                    jnp.sum(res.error) * 1e-12 + eps + 1e-6,
+                    (res.converged, res.T, res.iterations),
+                )
 
-        eps0 = jnp.asarray(0.0, jnp.float32)
-        _, (conv, Ts, iters) = jax.lax.scan(body, eps0, None, length=ROUNDS)
-        return conv, Ts, iters
+            eps0 = jnp.asarray(0.0, jnp.float32)
+            _, (conv, Ts, iters) = jax.lax.scan(body, eps0, None, length=ROUNDS)
+            return conv, Ts, iters
 
-    lowered = chained.lower(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
-    compiled = lowered.compile()
-    try:
-        xla_static_flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        # None (JSON null), NOT float('nan'): json.dumps would emit a bare
-        # NaN token, which is invalid JSON and breaks strict consumers
-        xla_static_flops = None
+        lowered = chained.lower(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
+        compiled = lowered.compile()
+        try:
+            flops = float(compiled.cost_analysis()["flops"])
+        except Exception:
+            # None (JSON null), NOT float('nan'): json.dumps would emit a
+            # bare NaN token, which is invalid JSON and breaks strict
+            # consumers
+            flops = None
 
-    conv, Ts, iters = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)  # warm
-    jax.block_until_ready((conv, Ts, iters))
+        conv, Ts, iters = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
+        jax.block_until_ready((conv, Ts, iters))  # warm
 
-    times = []
-    for i in range(3):
-        sx = src_xyz + np.float32((i + 1) * 1e-5)
-        t0 = time.perf_counter()
-        conv, Ts, iters = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
-        Ts_host = np.asarray(Ts)  # host fetch — the only reliable barrier
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    mean_iters = float(np.mean(np.asarray(iters)))
+        mtimes = []
+        Ts_host = None
+        for i in range(3):
+            sx = src_xyz + np.float32((i + 1) * 1e-5)
+            t0 = time.perf_counter()
+            conv, Ts, iters = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
+            Ts_host = np.asarray(Ts)  # host fetch — the only reliable barrier
+            mtimes.append(time.perf_counter() - t0)
+        mdt = float(np.median(mtimes))
+        miters = float(np.mean(np.asarray(iters)))
+        # registration-quality sanity: the benchmark must be timing real
+        # work. Median translation error of the last round vs ground truth;
+        # the protocol is invalid if the solver stalls at the identity guess.
+        mterr = np.linalg.norm(Ts_host[-1][:, :3, 3] - gt_rel[:, :3, 3], axis=1)
+        return mdt, miters, float(np.median(mterr)), flops
 
-    # registration-quality sanity: the benchmark must be timing real work.
-    # Median translation error of the last round vs ground truth; the
-    # protocol is invalid if the solver is stalling at the identity guess.
-    terr = np.linalg.norm(Ts_host[-1][:, :3, 3] - gt_rel[:, :3, 3], axis=1)
-    med_terr = float(np.median(terr))
+    dt, mean_iters, med_terr, xla_static_flops = measure(cfg)
     gt_mag = float(np.median(np.linalg.norm(gt_rel[:, :3, 3], axis=1)))
 
     fps = BATCH * ROUNDS / dt
@@ -207,6 +211,24 @@ def main():
         "median_terr_m": round(med_terr, 3),
         "median_gt_motion_m": round(gt_mag, 3),
     }
+
+    # Also record the RBF covariance variant (GPU_RBF_KERNEL parity,
+    # top-k-free prepare — see BENCHMARKS.md "RBF-kernel covariances") in
+    # the same JSON line, unless a variant was explicitly requested or
+    # RIVSLAM_BENCH_SKIP_RBF=1.
+    if ("RIVSLAM_BENCH_COV" not in os.environ
+            and not int(os.environ.get("RIVSLAM_BENCH_SKIP_RBF", "0"))):
+        import dataclasses
+
+        rbf_cfg = dataclasses.replace(cfg, covariance_method="RBF")
+        rdt, riters, rterr, _ = measure(rbf_cfg)
+        rfps = BATCH * ROUNDS / rdt
+        out["rbf_fps"] = round(rfps, 2)
+        if baseline_fps:
+            out["rbf_vs_baseline"] = round(rfps / baseline_fps, 2)
+        out["rbf_median_terr_m"] = round(rterr, 3)
+        out["rbf_mean_lm_iterations"] = round(riters, 2)
+
     print(json.dumps(out))
 
 
