@@ -72,11 +72,18 @@ elif _jax.config.jax_compilation_cache_dir is None:
     import hashlib as _hashlib
     import platform as _platform
 
+    # hash the model name TOO, not just the flags line: LLVM tuning
+    # features baked into AOT code (prefer-no-scatter/-gather, AMX subsets)
+    # derive from the CPU model, so two hosts with identical cpuinfo flags
+    # can still produce incompatible AOT entries (observed as
+    # cpu_aot_loader "machine type doesn't match" errors)
     try:
         with open("/proc/cpuinfo") as _f:
-            _fp_src = next(
-                (_l for _l in _f if _l.startswith("flags")), _platform.machine()
-            )
+            _lines = [
+                _l for _l in _f
+                if _l.startswith("flags") or _l.startswith("model name")
+            ]
+            _fp_src = "".join(sorted(set(_lines))) or _platform.machine()
     except OSError:
         _fp_src = _platform.machine()
     _cache_dir = _os.path.join(

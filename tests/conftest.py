@@ -30,8 +30,11 @@ import hashlib  # noqa: E402
 import platform  # noqa: E402
 
 try:
+    # flags + model name: LLVM tuning features in AOT entries
+    # (prefer-no-scatter etc.) vary by CPU model even at identical flags
     with open("/proc/cpuinfo") as _f:
-        _fp_src = next((l for l in _f if l.startswith("flags")), platform.machine())
+        _lines = [l for l in _f if l.startswith(("flags", "model name"))]
+    _fp_src = "".join(sorted(set(_lines))) or platform.machine()
 except OSError:
     _fp_src = platform.machine()
 _fp = hashlib.sha1(_fp_src.encode()).hexdigest()[:12]
