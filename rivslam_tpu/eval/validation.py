@@ -176,6 +176,10 @@ def main(argv=None) -> None:
         help="covariance neighborhood method (RegistrationConfig"
         ".covariance_method A/B)",
     )
+    ap.add_argument(
+        "--rbf-kw", type=float, default=None,
+        help="override rbf_kernel_width (only with --cov RBF)",
+    )
     ap.add_argument("--json", default=None)
     ap.add_argument(
         "--cpu", action="store_true",
@@ -207,6 +211,8 @@ def main(argv=None) -> None:
                         {"covariance_method": args.cov}
                         if args.cov != "KNN" else None
                     )
+                    if reg_ov is not None and args.rbf_kw is not None:
+                        reg_ov["rbf_kernel_width"] = args.rbf_kw
                     r = run_course(course, method, lp == "on", seed=sd,
                                    dtype=dtype, reg_overrides=reg_ov)
                     r["covariance_method"] = args.cov
