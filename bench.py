@@ -49,6 +49,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("RIVSLAM_BENCH_BATCH", "256"))
 ROUNDS = int(os.environ.get("RIVSLAM_BENCH_ROUNDS", "4"))
+MEAS_ROUNDS = int(os.environ.get("RIVSLAM_BENCH_MEAS", "5"))
 CAPACITY = 1024
 
 # TPU v5e peak: 197 TFLOP/s bf16; f32 matmul issue rate is half.
@@ -163,26 +164,38 @@ def main():
         conv, Ts, iters = chained(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)
         jax.block_until_ready((conv, Ts, iters))  # warm
 
+        # >=5 measurement rounds with median + IQR (VERDICT r4 #5): the
+        # headline drifted 4838 -> 4671 fps across driver sessions with no
+        # recorded spread, so round-over-round deltas were uninterpretable.
         mtimes = []
         Ts_host = None
-        for i in range(3):
+        for i in range(MEAS_ROUNDS):
             sx = src_xyz + np.float32((i + 1) * 1e-5)
             t0 = time.perf_counter()
             conv, Ts, iters = chained(sx, src_mask, tgt_xyz, tgt_mask, guess)
             Ts_host = np.asarray(Ts)  # host fetch — the only reliable barrier
             mtimes.append(time.perf_counter() - t0)
         mdt = float(np.median(mtimes))
+        q1, q3 = np.percentile(mtimes, [25, 75])
+        spread = dict(
+            dt_median=mdt, dt_q1=float(q1), dt_q3=float(q3),
+            dt_min=float(np.min(mtimes)),
+        )
         miters = float(np.mean(np.asarray(iters)))
         # registration-quality sanity: the benchmark must be timing real
         # work. Median translation error of the last round vs ground truth;
         # the protocol is invalid if the solver stalls at the identity guess.
         mterr = np.linalg.norm(Ts_host[-1][:, :3, 3] - gt_rel[:, :3, 3], axis=1)
-        return mdt, miters, float(np.median(mterr)), flops
+        return mdt, miters, float(np.median(mterr)), flops, spread
 
-    dt, mean_iters, med_terr, xla_static_flops = measure(cfg)
+    dt, mean_iters, med_terr, xla_static_flops, spread = measure(cfg)
     gt_mag = float(np.median(np.linalg.norm(gt_rel[:, :3, 3], axis=1)))
 
     fps = BATCH * ROUNDS / dt
+    work = BATCH * ROUNDS
+    # IQR in fps space (q3 of time -> q1 of fps)
+    fps_iqr = [round(work / spread["dt_q3"], 2), round(work / spread["dt_q1"], 2)]
+    fps_best = round(work / spread["dt_min"], 2)
     # per-frame analytic FLOPs at the measured iteration count; the batched
     # target prepare (once per dispatch, not per frame) is amortized in.
     frame_flops = analytic_flops(CAPACITY, CAPACITY, mean_iters)
@@ -200,6 +213,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "baseline_fps": baseline_fps,
+        "fps_iqr": fps_iqr,
+        "fps_best": fps_best,
+        "measure_rounds": MEAS_ROUNDS,
         "mean_lm_iterations": round(mean_iters, 2),
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu": round(achieved / PEAK_F32, 4),
@@ -212,6 +228,69 @@ def main():
         "median_gt_motion_m": round(gt_mag, 3),
     }
 
+    # FAST_VGICP variant (VERDICT r4 #4): voxel-map correspondence with the
+    # DIRECT7 packed-key lookup — NO [N, M] or [N, V] distance intermediate
+    # in the LM loop (the HBM term that pins the headline roofline). Target
+    # voxel map built once per dispatch (the pipeline caches it per keyframe
+    # exactly like the target PreparedCloud); per-frame work = source
+    # covariance prepare + voxel-LM registration.
+    if ("RIVSLAM_BENCH_COV" not in os.environ
+            and not int(os.environ.get("RIVSLAM_BENCH_SKIP_VGICP", "0"))):
+        import dataclasses
+
+        from rivslam_tpu.frontend import vgicp
+
+        for nb in ("DIRECT7", "DIRECT1"):
+            vcfg = dataclasses.replace(cfg, vgicp_neighborhood=nb)
+
+            @jax.jit
+            def chained_v(sx, sm, tx, tm, g, _vcfg=vcfg):
+                vms = jax.vmap(
+                    lambda a, b: vgicp.build_voxel_map(a, b, _vcfg, capacity=2048)
+                )(tx, tm)
+
+                def body(carry, _):
+                    eps = carry
+                    src = jax.vmap(lambda a, b: apdgicp.prepare(a, b, _vcfg))(
+                        sx + eps, sm
+                    )
+                    res = jax.vmap(
+                        lambda s, vm, gg: vgicp.register_vgicp(s, vm, gg, _vcfg)
+                    )(src, vms, g)
+                    return (
+                        jnp.sum(res.error) * 1e-12 + eps + 1e-6,
+                        (res.converged, res.T, res.iterations),
+                    )
+
+                _, out_v = jax.lax.scan(
+                    body, jnp.asarray(0.0, jnp.float32), None, length=ROUNDS
+                )
+                return out_v
+
+            chained_v(src_xyz, src_mask, tgt_xyz, tgt_mask, guess)[1].block_until_ready()
+            vtimes = []
+            vTs = vIters = None
+            for i in range(MEAS_ROUNDS):
+                sx = src_xyz + np.float32((i + 1) * 1e-5)
+                t0 = time.perf_counter()
+                _, vTs, vIters = chained_v(sx, src_mask, tgt_xyz, tgt_mask, guess)
+                vTs = np.asarray(vTs)
+                vtimes.append(time.perf_counter() - t0)
+            vdt = float(np.median(vtimes))
+            vterr = np.linalg.norm(vTs[-1][:, :3, 3] - gt_rel[:, :3, 3], axis=1)
+            key = "vgicp_fps" if nb == "DIRECT7" else "vgicp_d1_fps"
+            out[key] = round(work / vdt, 2)
+            if baseline_fps:
+                out[key.replace("_fps", "_vs_baseline")] = round(
+                    work / vdt / baseline_fps, 2
+                )
+            out[key.replace("_fps", "_median_terr_m")] = round(
+                float(np.median(vterr)), 3
+            )
+            out[key.replace("_fps", "_mean_lm_iterations")] = round(
+                float(np.mean(np.asarray(vIters))), 2
+            )
+
     # Also record the RBF covariance variant (GPU_RBF_KERNEL parity,
     # top-k-free prepare — see BENCHMARKS.md "RBF-kernel covariances") in
     # the same JSON line, unless a variant was explicitly requested or
@@ -221,11 +300,14 @@ def main():
         import dataclasses
 
         rbf_cfg = dataclasses.replace(cfg, covariance_method="RBF")
-        rdt, riters, rterr, _ = measure(rbf_cfg)
+        rdt, riters, rterr, _, rspread = measure(rbf_cfg)
         rfps = BATCH * ROUNDS / rdt
         out["rbf_fps"] = round(rfps, 2)
         if baseline_fps:
             out["rbf_vs_baseline"] = round(rfps / baseline_fps, 2)
+        out["rbf_fps_iqr"] = [
+            round(work / rspread["dt_q3"], 2), round(work / rspread["dt_q1"], 2)
+        ]
         out["rbf_median_terr_m"] = round(rterr, 3)
         out["rbf_mean_lm_iterations"] = round(riters, 2)
 

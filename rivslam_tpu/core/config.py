@@ -177,6 +177,19 @@ class RegistrationConfig:
     rbf_max_dist: float = 3.0  # fast_vgicp_cuda.cu:26 (setKernelWidth(-1) => 5*width)
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0
+    # Voxel neighborhood search for VGICP / NDT:
+    #   "DIRECT7"/"DIRECT1" — the point's voxel (+6 face neighbors) found by
+    #     packed-key binary search in the lex-sorted voxel table — O(N k
+    #     log V) gathers, NO [N, V] distance matrix (frontend/vgicp.py
+    #     _voxel_correspondences_direct; VERDICT r4 #4);
+    #   "KDTREE" — nearest voxel centers via an [N, V] MXU distance matrix
+    #     + top-k (the pre-round-5 behavior).
+    # Defaults mirror the reference's two distinct defaults: FastVGICP
+    # constructs with DIRECT1 (fast_vgicp_impl.hpp:23, never overridden by
+    # registrations.cpp); NDT_OMP reads reg_nn_search_method with default
+    # DIRECT7 (registrations.cpp:117-131).
+    vgicp_neighborhood: str = "DIRECT1"
+    ndt_neighborhood: str = "DIRECT7"
     dtype: str = "float32"
 
 

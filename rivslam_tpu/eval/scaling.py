@@ -97,6 +97,137 @@ def _drifted_loop_graph(K: int, L: int, n_active: int, dtype):
     return g
 
 
+def _schur_phase_probe(g, S: int, n: int, gn_iters: int, repeats: int) -> dict:
+    """Per-device phase decomposition of the SPMD block-Schur solve at n
+    devices (VERDICT r4 #1): times ONE device's shard of each per-iteration
+    phase — chain-edge linearization (K/n edges), block assembly (S/n
+    submaps), interior elimination + back-substitution (S/n submaps) — as
+    single-device jitted programs at the shard's true shapes, plus the
+    replicated separator solve. Together with the psum microbenchmark
+    (collective row) these sum to the predicted per-iteration cost on a real
+    mesh: per_device(n) + replicated + comm(n). The sharded wall time on the
+    VIRTUAL mesh cannot show this (devices share host cores; total work /
+    total cores is constant in n) — this probe is the per-device-compute
+    measurement the virtual wall time hides."""
+    import jax
+    import jax.numpy as jnp
+
+    from rivslam_tpu.loop import block_schur as bs
+
+    K = g.R.shape[0]
+    L = g.loop_i.shape[0]
+    B = K // S
+    Sn = S // n
+    Kn = K // n
+    P = 2 * S + 2 * L
+    Pdim = 6 * (P + 1)
+    dtype = g.p.dtype
+
+    # device-0 shard bookkeeping (cost model only — slot VALUES don't change
+    # the phase costs, so loop-endpoint slot special-casing is skipped)
+    jg = jnp.arange(Kn)
+    ei = jnp.maximum(jg - 1, 0).astype(jnp.int32)
+    ej = jg.astype(jnp.int32)
+    emask = g.node_mask[ei] & g.node_mask[ej] & (jg > 0)
+    cross = jg % B == 0
+    edge_blk = jnp.where(emask & ~cross, jg // B, Sn)
+    loc_i = (ei % B).astype(jnp.int32)
+    loc_j = (ej % B).astype(jnp.int32)
+    node_loc = jnp.arange(Kn)
+    sep_local = ((node_loc % B == 0) | (node_loc % B == B - 1)).reshape(Sn, B)
+    D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)
+    blk_loc = node_loc // B
+    slot_local = jnp.where(
+        node_loc % B == 0, 2 * blk_loc,
+        jnp.where(node_loc % B == B - 1, 2 * blk_loc + 1, P),
+    ).reshape(Sn, B)
+    sdim = ((slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]).reshape(
+        Sn, 6 * B
+    )
+    rel_R, rel_p, info = g.odom_rel_R[:Kn], g.odom_rel_p[:Kn], g.odom_info[:Kn]
+    no_loop = jnp.zeros(Kn, bool)
+
+    def scanned(body):
+        @jax.jit
+        def f(R, p):
+            out, _ = jax.lax.scan(
+                lambda c, _: (c + 0e0 * body(R, p + c), None),
+                jnp.zeros((), dtype), None, length=gn_iters,
+            )
+            return out
+        return f
+
+    with jax.default_matmul_precision("float32"):
+        lin = scanned(
+            lambda R, p: sum(
+                jnp.sum(v) for v in bs._edge_terms(
+                    R, p, ei, ej, rel_R, rel_p, info, emask, no_loop, 1.0
+                ).values()
+            )
+        )
+        ch0 = bs._edge_terms(
+            g.R, g.p, ei, ej, rel_R, rel_p, info, emask, no_loop, 1.0
+        )
+
+        @jax.jit
+        def assemble(chHii, chHij, chHjj, chgi, chgj):
+            ch = dict(Hii=chHii, Hij=chHij, Hjj=chHjj, gi=chgi, gj=chgj)
+            def body(c, _):
+                Hb, gb = bs._assemble_chain_blocks(
+                    {k: v + c for k, v in ch.items()}, loc_i, loc_j,
+                    edge_blk, Sn, B, dtype,
+                )
+                return c + 0e0 * (jnp.sum(Hb) + jnp.sum(gb)), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), dtype), None, length=gn_iters)
+            return out
+
+        Hb0, gb0 = bs._assemble_chain_blocks(ch0, loc_i, loc_j, edge_blk, Sn, B, dtype)
+        Hb0 = Hb0 + jnp.eye(6 * B, dtype=dtype) * 1e-6
+
+        @jax.jit
+        def elim(Hb, gb):
+            def body(c, _):
+                H_sep, g_sep, A, b = bs._eliminate_local(
+                    Hb + c, gb, D, sdim, Pdim, dtype
+                )
+                d_loc = bs._back_substitute(A, b, jnp.zeros(Pdim, dtype), sdim, D)
+                return c + 0e0 * (H_sep[0, 0] + g_sep[0] + jnp.sum(d_loc)), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), dtype), None, length=gn_iters)
+            return out
+
+        H_sep0, g_sep0, _, _ = bs._eliminate_local(Hb0, gb0, D, sdim, Pdim, dtype)
+        H_sep0 = H_sep0 + jnp.eye(Pdim, dtype=dtype)
+
+        @jax.jit
+        def sep(H, gs):
+            def body(c, _):
+                d = bs._sep_solve(H + c, -gs[:, None])[:, 0]
+                return c + 0e0 * d[0], None
+            out, _ = jax.lax.scan(body, jnp.zeros((), dtype), None, length=gn_iters)
+            return out
+
+        lin(g.R, g.p).block_until_ready()
+        t_lin = _min_time(lambda: lin(g.R, g.p).block_until_ready(), repeats)
+        args = (ch0["Hii"], ch0["Hij"], ch0["Hjj"], ch0["gi"], ch0["gj"])
+        assemble(*args).block_until_ready()
+        t_asm = _min_time(lambda: assemble(*args).block_until_ready(), repeats)
+        elim(Hb0, gb0).block_until_ready()
+        t_elim = _min_time(lambda: elim(Hb0, gb0).block_until_ready(), repeats)
+        sep(H_sep0, g_sep0).block_until_ready()
+        t_sep = _min_time(lambda: sep(H_sep0, g_sep0).block_until_ready(), repeats)
+
+    return {
+        "devices": n,
+        "blocks_per_device": Sn,
+        "edges_per_device": Kn,
+        "chain_linearize_ms": round(1e3 * t_lin, 2),
+        "block_assembly_ms": round(1e3 * t_asm, 2),
+        "eliminate_backsub_ms": round(1e3 * t_elim, 2),
+        "sep_solve_replicated_ms": round(1e3 * t_sep, 2),
+        "per_device_total_ms": round(1e3 * (t_lin + t_asm + t_elim), 2),
+    }
+
+
 def _fleet_probe(n: int, frames: int, capacity: int, imu_capacity: int,
                  repeats: int) -> dict:
     """Measure ONE fleet weak-scaling point at n virtual devices (invoked as
@@ -472,6 +603,8 @@ def run_scaling(
             key=lambda b: abs(b - sblocks),
             default=None,
         )
+        if nb is not None:
+            row["schur_phases"] = _schur_phase_probe(g, nb, n, gn_iters, repeats)
         if nb is None:
             print(f"dist_schur: no valid submap count for {n} devices "
                   f"(graph_k={graph_k}) — skipped")

@@ -73,11 +73,18 @@ def estimate_covariances(
         # GPU_RBF_KERNEL parity (covariance_estimation_rbf.cu:78-160):
         # Gaussian-weighted moments over ALL points, w = exp(-kw * d2),
         # zeroed beyond max_dist; cov = E_w[xx^T] - mean mean^T (cu:46-53).
+        # HIGHEST matmul precision throughout: the expanded-form d2
+        # (n2_i + n2_j - 2 x.x^T) cancels catastrophically for points far
+        # from the origin under the TPU's default bf16 matmul passes,
+        # corrupting the exp weights — the fast path (apdgicp_fast) already
+        # guards this with _bulk_precision, and this exact path is the
+        # parity reference it is validated against (ADVICE r4).
+        hp = jax.lax.Precision.HIGHEST
         sxyz = jnp.where(mask[..., None], xyz, SENTINEL)
         n2 = jnp.sum(sxyz * sxyz, axis=-1)
         d2 = jnp.maximum(
             n2[..., :, None] + n2[..., None, :]
-            - 2.0 * jnp.matmul(sxyz, jnp.swapaxes(sxyz, -1, -2)),
+            - 2.0 * jnp.matmul(sxyz, jnp.swapaxes(sxyz, -1, -2), precision=hp),
             0.0,
         )
         w = jnp.exp(-cfg.rbf_kernel_width * d2)
@@ -85,9 +92,9 @@ def estimate_covariances(
             (d2 <= cfg.rbf_max_dist**2) & mask[..., None, :], w, 0.0
         ).astype(xyz.dtype)  # [N, M]
         sw = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
-        mean = jnp.matmul(w, xyz) / sw
+        mean = jnp.matmul(w, xyz, precision=hp) / sw
         exx = (
-            jnp.einsum("...nm,...mi,...mj->...nij", w, xyz, xyz)
+            jnp.einsum("...nm,...mi,...mj->...nij", w, xyz, xyz, precision=hp)
             / sw[..., None]
         )
         cov = exx - mean[..., :, None] * mean[..., None, :]

@@ -57,8 +57,28 @@ def build_voxel_map(
     return VoxelMap(coords=coords, mean=mean, cov=cov_reg, count=cnt)
 
 
-def _voxel_correspondences(T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, k_neighbors=7):
-    """Nearest voxels per transformed source point (DIRECT7 analogue)."""
+# DIRECT7 neighborhood: the point's own voxel + 6 face neighbors
+# (fast_vgicp_voxel.hpp neighbor_offsets, DIRECT7 case)
+_DIRECT7_OFFSETS = (
+    (0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+    (0, 0, -1),
+)
+
+
+def _mahalanobis(T, src, vm, idx, corr):
+    cov_B = vm.cov[idx]  # [N,k,3,3]
+    R = T[:3, :3]
+    cov_A = jnp.einsum("ij,njk,lk->nil", R, src.cov, R)  # [N,3,3]
+    mah = apdgicp._inv3(cov_B + cov_A[:, None, :, :])
+    return jnp.where(corr[..., None, None], mah, 0.0)
+
+
+def _voxel_correspondences_nearest(
+    T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, k_neighbors=7
+):
+    """Nearest voxels by center distance via an [N, V] MXU distance matrix —
+    the KDTREE-search analogue (reg_nn_search_method "KDTREE",
+    registrations.cpp:126)."""
     pt = lie.transform_points(T, src.xyz)  # [N,3]
     centers = (vm.coords.astype(pt.dtype) + 0.5) * cfg.voxel_resolution
     centers = jnp.where(vm.valid[:, None], centers, 1e6)
@@ -71,13 +91,51 @@ def _voxel_correspondences(T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, k_n
     # a voxel participates if its center is within one voxel diagonal
     radius = cfg.voxel_resolution * 0.87 * 2.0  # ~ sqrt(3)/2 * 2
     corr = (-neg < radius * radius) & src.mask[:, None] & (vm.count[idx] > 0)
+    return idx, corr, _mahalanobis(T, src, vm, idx, corr)
 
-    cov_B = vm.cov[idx]  # [N,k,3,3]
-    R = T[:3, :3]
-    cov_A = jnp.einsum("ij,njk,lk->nil", R, src.cov, R)  # [N,3,3]
-    mah = apdgicp._inv3(cov_B + cov_A[:, None, :, :])
-    mah = jnp.where(corr[..., None, None], mah, 0.0)
-    return idx, corr, mah
+
+def _voxel_correspondences_direct(
+    T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, n_offsets: int
+):
+    """DIRECT7/DIRECT1 voxel lookup WITHOUT the [N, V] distance matrix
+    (VERDICT r4 #4 — this intermediate is what pins the registration
+    roofline): each transformed point hashes to its integer voxel coord;
+    the neighborhood's packed keys are found in the lex-sorted voxel table
+    by binary search (jnp.searchsorted, O(N·k·log V) gathers). This is the
+    reference's voxel-hash lookup (fast_vgicp_voxel.hpp:57-130,
+    find_voxel_correspondences.cu:114) reformulated for the TPU: a sorted
+    static table + searchsorted instead of std::unordered_map."""
+    pt = lie.transform_points(T, src.xyz)  # [N,3]
+    table = voxel_mod.pack_voxel_coords(
+        jnp.where(vm.valid[:, None], vm.coords, voxel_mod._COORD_OFFSET)
+    )  # [V] ascending (valid lex-sorted, invalid saturate to INT32_MAX)
+    c = jnp.floor(pt / cfg.voxel_resolution).astype(jnp.int32)  # [N,3]
+    offs = jnp.asarray(_DIRECT7_OFFSETS[:n_offsets], jnp.int32)
+    qk = voxel_mod.pack_voxel_coords(c[:, None, :] + offs[None])  # [N,k]
+    pos = jnp.searchsorted(table, qk)
+    idx = jnp.minimum(pos, table.shape[0] - 1)
+    corr = (
+        (table[idx] == qk)
+        & (qk != voxel_mod._PACK_MISS)
+        & src.mask[:, None]
+        & (vm.count[idx] > 0)
+    )
+    return idx, corr, _mahalanobis(T, src, vm, idx, corr)
+
+
+def _voxel_correspondences(
+    T, src: apdgicp.PreparedCloud, vm: VoxelMap, cfg, method: str | None = None
+):
+    """Neighborhood-method dispatch (NeighborSearchMethod /
+    reg_nn_search_method, fast_vgicp.hpp:74 + registrations.cpp:117-131)."""
+    method = method or cfg.vgicp_neighborhood
+    if method == "DIRECT7":
+        return _voxel_correspondences_direct(T, src, vm, cfg, 7)
+    if method == "DIRECT1":
+        return _voxel_correspondences_direct(T, src, vm, cfg, 1)
+    if method == "KDTREE":
+        return _voxel_correspondences_nearest(T, src, vm, cfg)
+    raise ValueError(f"unknown voxel neighborhood {method!r}")
 
 
 def _linearize_vgicp(T, src, vm: VoxelMap, idx, corr, mah):
@@ -130,7 +188,7 @@ def register_ndt(
         src = apdgicp.PreparedCloud(xyz=svm.mean, mask=svm.valid, cov=svm.cov)
     else:
         raise ValueError(mode)
-    return register_vgicp(src, vm, guess, cfg)
+    return register_vgicp(src, vm, guess, cfg, neighborhood=cfg.ndt_neighborhood)
 
 
 def register_vgicp(
@@ -138,8 +196,10 @@ def register_vgicp(
     vm: VoxelMap,
     guess: jax.Array,
     cfg: RegistrationConfig,
+    neighborhood: str | None = None,
 ) -> apdgicp.RegistrationResult:
     """LsqRegistration LM driver over voxel correspondences."""
+    nb = neighborhood or cfg.vgicp_neighborhood
     dtype = src.xyz.dtype
     T0 = guess.astype(dtype)
 
@@ -149,7 +209,7 @@ def register_vgicp(
 
     def outer_body(c):
         T, lam, converged, failed, it, Hf, errf = c
-        idx, corr, mah = _voxel_correspondences(T, src, vm, cfg)
+        idx, corr, mah = _voxel_correspondences(T, src, vm, cfg, nb)
         H, b, y0 = _linearize_vgicp(T, src, vm, idx, corr, mah)
         lam = jnp.where(lam < 0, cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diagonal(H))), lam)
 
@@ -193,7 +253,7 @@ def register_vgicp(
     init = (T0, jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(0, jnp.int32), jnp.eye(6, dtype=dtype), jnp.asarray(jnp.inf, dtype))
     T, lam, converged, failed, it, Hf, errf = jax.lax.while_loop(outer_cond, outer_body, init)
-    idx, corr, mah = _voxel_correspondences(T, src, vm, cfg)
+    idx, corr, mah = _voxel_correspondences(T, src, vm, cfg, nb)
     ncorr = jnp.sum(corr)
     pt = lie.transform_points(T, src.xyz)
     d2 = jnp.sum((vm.mean[idx] - pt[:, None, :]) ** 2, axis=-1)

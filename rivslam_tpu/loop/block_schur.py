@@ -475,17 +475,34 @@ def solve_pose_graph_schur_sharded(
     gn_iters: int = 8,
     huber_delta: float = 1.0,
 ):
-    """Distributed block-Schur BA: the per-submap interior eliminations (the
-    dominant cost) are sharded over `axis`; each device contributes its
-    blocks' reduced-system terms which combine by psum over ICI; the tiny
-    separator solve is replicated (float32 matmul precision is forced for
-    the same conditioning reason as solve_pose_graph_schur);
-    back-substitution runs on each block's owner. The linearization,
-    assembly, and dogleg trust-region logic are the SAME functions as the
-    local solver (_linearize_assemble/_finish_sep_system/_make_tr_step) —
-    only the elimination map differs (shard_map + psum vs vmap), so the two
-    paths agree to f32 reduction-order noise (asserted at capacity scale in
-    tests/test_block_schur.py).
+    """Distributed block-Schur BA — the WHOLE solve runs as one SPMD program
+    (a single shard_map over `axis`), not a replicated outer loop calling a
+    sharded elimination.
+
+    Partitioning: device d owns the contiguous submap blocks
+    [d·S/n, (d+1)·S/n) — i.e. a contiguous keyframe range and the contiguous
+    slice of chain edges ending in it. Per device and per dogleg iteration,
+    ONLY the owned shard is computed: edge linearization, per-block Hessian
+    assembly, interior Schur elimination (the dominant cost), the
+    accept/reject chi2 re-evaluations, and back-substitution all scale 1/n.
+    Replicated leftovers are tiny by construction: loop-edge linearization
+    (L edges), the reduced separator solve ([6(2S+2L+1)]^2), and the dogleg
+    bookkeeping. Communication per iteration: one psum of the reduced system
+    (the dominant payload, measured in eval/scaling.py), one [K,6] gradient
+    psum, one [K,6] step all_gather, and a handful of scalar psums for the
+    trust-region chi2/curvature tests — all ICI-friendly.
+
+    The round-4 form kept linearization/assembly/chi2 retries replicated in
+    the outer jit (so per-device work never shrank) and computed the final
+    chi2 EAGERLY outside the jit (op-by-op dispatch on mesh-committed
+    arrays: measured ~260-400 ms of the 488-1023 ms round-4 solve times).
+    Both are gone: one program, everything inside.
+
+    float32 matmul precision is forced for the same conditioning reason as
+    solve_pose_graph_schur. Math matches the local solver step-for-step
+    (same residuals, same dogleg rules, same damping); sums are reassociated
+    across devices, so the two agree to f32 reduction-order noise — asserted
+    at convergence in tests/test_block_schur.py.
     """
     K = g.R.shape[0]
     L = g.loop_i.shape[0]
@@ -501,10 +518,77 @@ def solve_pose_graph_schur_sharded(
         mesh, axis, K, L, S, gn_iters, huber_delta, jnp.dtype(g.p.dtype).name
     )
     with jax.default_matmul_precision("float32"):
-        R_fin, p_fin = run(g)
-    g_out = dataclasses.replace(g, R=R_fin, p=p_fin)
-    _, _, _, _, _, _, chi2_fin = gg.linearize(g_out, huber_delta)
-    return g_out, chi2_fin
+        R_fin, p_fin, chi2_fin = run(
+            g.R, g.p, g.node_mask, g.odom_rel_R, g.odom_rel_p, g.odom_info,
+            g.loop_i, g.loop_j, g.loop_rel_R, g.loop_rel_p, g.loop_info,
+            g.loop_mask, g.anchor_info, g.gps_xyz, g.gps_info, g.gps_mask,
+        )
+    return dataclasses.replace(g, R=R_fin, p=p_fin), chi2_fin
+
+
+def _edge_terms(R, p, ei, ej, Rm, pm, info, mask, is_loop, huber_delta):
+    """Per-edge linearization products for one edge set: residual, Jacobians,
+    robust-weighted info, gradient and Hessian blocks, weighted chi2 sum.
+    Shared by the SPMD solver's chain-shard and loop-edge paths so both use
+    exactly the local solver's math."""
+    dtype = p.dtype
+    r, Ji, Jj = jax.vmap(gg._edge_res_and_jac)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
+    chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+    w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+    w = w * mask.astype(dtype)
+    W = info * w[:, None, None]
+    Wr = jnp.einsum("eij,ej->ei", W, r)
+    return dict(
+        r=r, Ji=Ji, Jj=Jj, W=W,
+        chi2=jnp.sum(chi2_e * w),
+        gi=jnp.einsum("eji,ej->ei", Ji, Wr),
+        gj=jnp.einsum("eji,ej->ei", Jj, Wr),
+        Hii=jnp.einsum("eji,ejk,ekl->eil", Ji, W, Ji),
+        Hij=jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj),
+        Hjj=jnp.einsum("eji,ejk,ekl->eil", Jj, W, Jj),
+    )
+
+
+def _edge_chi2(R, p, ei, ej, Rm, pm, info, mask, is_loop, huber_delta):
+    """Robust-weighted chi2 of one edge set (no Jacobians — the cheap form
+    the dogleg retry loop evaluates)."""
+    r = jax.vmap(gg._edge_residual)(R[ei], p[ei], R[ej], p[ej], Rm, pm)
+    chi2_e = jnp.einsum("eij,ei,ej->e", info, r, r)
+    w = jnp.where(is_loop, robust.kernel_weight("Huber", huber_delta, chi2_e), 1.0)
+    return jnp.sum(chi2_e * w * mask.astype(p.dtype))
+
+
+def _edge_quad(Ji, Jj, W, vi, vj):
+    """sum_e (J_i v_i + J_j v_j)^T W (J_i v_i + J_j v_j) — the per-edge-set
+    contribution to v^T H v for the dogleg model decrease."""
+    Jv = jnp.einsum("eij,ej->ei", Ji, vi) + jnp.einsum("eij,ej->ei", Jj, vj)
+    return jnp.sum(Jv * jnp.einsum("eij,ej->ei", W, Jv))
+
+
+def _assemble_chain_blocks(ch, loc_i, loc_j, edge_blk, Sn, B, dtype):
+    """Scatter per-edge Hessian/gradient blocks into [Sn, 6B, 6B] / [Sn, 6B]
+    submap blocks (edge_blk == Sn is the dump slot for non-intra edges).
+    Module-level so eval/scaling.py can microbench the per-device assembly
+    phase at each shard size."""
+
+    def scatter_block(vals, rows, cols, blkid):
+        out = jnp.zeros((Sn + 1, 6 * B, 6 * B), dtype=dtype)
+        ri = (rows * 6)[:, None] + jnp.arange(6)[None, :]
+        ci = (cols * 6)[:, None] + jnp.arange(6)[None, :]
+        return out.at[
+            blkid[:, None, None], ri[:, :, None], ci[:, None, :]
+        ].add(vals)[:-1]
+
+    Hb = scatter_block(ch["Hii"], loc_i, loc_i, edge_blk)
+    Hb = Hb + scatter_block(ch["Hij"], loc_i, loc_j, edge_blk)
+    Hb = Hb + scatter_block(jnp.swapaxes(ch["Hij"], 1, 2), loc_j, loc_i, edge_blk)
+    Hb = Hb + scatter_block(ch["Hjj"], loc_j, loc_j, edge_blk)
+    gb = jnp.zeros((Sn + 1, 6 * B), dtype=dtype)
+    gi_idx = (loc_i * 6)[:, None] + jnp.arange(6)[None, :]
+    gj_idx = (loc_j * 6)[:, None] + jnp.arange(6)[None, :]
+    gb = gb.at[edge_blk[:, None], gi_idx].add(ch["gi"])
+    gb = gb.at[edge_blk[:, None], gj_idx].add(ch["gj"])
+    return Hb, gb[:-1]
 
 
 @lru_cache(maxsize=None)
@@ -512,61 +596,285 @@ def _sharded_schur_fn(
     mesh, axis: str, K: int, L: int, S: int, gn_iters: int,
     huber_delta: float, dtype_name: str,
 ):
-    """Memoized jitted program for the sharded solve. The graph is a traced
-    ARGUMENT (not a closure constant as in the original form) so one
-    compiled program serves every graph of this capacity — the per-call
-    rebuild used to re-trace on every invocation, which is what the round-3
-    scaling report timed (dist_schur "0.1x local" was tracing overhead)."""
+    """Memoized jitted SPMD program for the sharded solve (graph fields are
+    traced arguments, so one compiled program serves every graph of this
+    capacity). See solve_pose_graph_schur_sharded for the partitioning."""
     from jax.sharding import PartitionSpec as P_
 
     dtype = jnp.dtype(dtype_name)
-    B = K // S
+    n = mesh.shape[axis]
+    B = K // S          # nodes per block
+    Sn = S // n         # blocks per device
+    Kn = K // n         # nodes (and chain-edge slots) per device
     P = 2 * S + 2 * L
     Pdim = 6 * (P + 1)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P_(axis), P_(axis), P_(axis), P_(axis)),
-        out_specs=(P_(), P_(), P_(axis), P_(axis)),
-        check_vma=False,
-    )
-    def eliminate(Hb_d, gb, D, sdim):
-        """Per-device: Schur-eliminate local blocks; psum reduced system."""
-        H_sep, g_sep, HII_inv_HIS, HII_inv_gI = _eliminate_local(
-            Hb_d, gb, D, sdim, Pdim, dtype
-        )
-        H_sep = jax.lax.psum(H_sep, axis)
-        g_sep = jax.lax.psum(g_sep, axis)
-        return H_sep, g_sep, HII_inv_HIS, HII_inv_gI
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P_(axis), P_(axis), P_(), P_(axis), P_(axis)),
-        out_specs=P_(axis),
-        check_vma=False,
-    )
-    def back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D):
-        return _back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
+    sharded = P_(axis)
+    repl = P_()
 
     @jax.jit
-    def run(g):
-        def newton_sharded(lin):
-            H_sep, g_sep, HII_inv_HIS, HII_inv_gI = eliminate(
-                lin["Hb"], lin["gb"], lin["D"], lin["sdim"]
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            repl, repl, repl,                 # R0, p0, node_mask
+            sharded, sharded, sharded,        # odom_rel_R/p, odom_info
+            repl, repl, repl, repl, repl, repl,  # loop_i/j, loop_rel_R/p, loop_info, loop_mask
+            repl,                             # anchor_info
+            sharded, sharded, sharded,        # gps_xyz, gps_info, gps_mask
+        ),
+        out_specs=(repl, repl, repl),
+        check_vma=False,
+    )
+    def run(R0, p0, node_mask, rel_R_s, rel_p_s, info_s,
+            loop_i, loop_j, loop_rel_R, loop_rel_p, loop_info, loop_mask,
+            anchor_info, gps_xyz_s, gps_info_s, gps_mask_s):
+        dev = jax.lax.axis_index(axis)
+        base = dev * Kn  # first global node / chain-edge index of this shard
+
+        # ---- static-per-solve bookkeeping (scan-invariant) --------------
+        # local chain-edge slice: global edge j connects (j-1, j)
+        jl = jnp.arange(Kn)
+        jg = base + jl
+        ei_g = jnp.maximum(jg - 1, 0).astype(jnp.int32)
+        ej_g = jg.astype(jnp.int32)
+        emask = node_mask[ei_g] & node_mask[ej_g] & (jg > 0)
+        cross = jg % B == 0  # block-crossing chain edge (j=0 is the dummy)
+        intra = emask & ~cross
+        edge_blk = jnp.where(intra, jg // B - dev * Sn, Sn)  # dump slot = Sn
+        loc_i = (ei_g % B).astype(jnp.int32)
+        loc_j = (ej_g % B).astype(jnp.int32)
+        zeros_e = jnp.zeros(Kn, bool)
+        zeros_l = jnp.zeros(L, bool)
+
+        # separator classification / slots (global, replicated int work)
+        node_ids = jnp.arange(K)
+        sep_mask = (node_ids % B == 0) | (node_ids % B == B - 1)
+        sep_mask = sep_mask.at[loop_i].set(
+            sep_mask[loop_i] | loop_mask
+        ).at[loop_j].set(sep_mask[loop_j] | loop_mask)
+        slot = _slot_of(node_ids, B, S, 2 * L)
+        li_slot = jnp.where(
+            _slot_of(loop_i, B, S, 2 * L) >= 0,
+            _slot_of(loop_i, B, S, 2 * L),
+            2 * S + 2 * jnp.arange(L),
+        )
+        lj_slot = jnp.where(
+            _slot_of(loop_j, B, S, 2 * L) >= 0,
+            _slot_of(loop_j, B, S, 2 * L),
+            2 * S + 2 * jnp.arange(L) + 1,
+        )
+        slot = slot.at[loop_i].set(jnp.where(loop_mask, li_slot, slot[loop_i]))
+        slot = slot.at[loop_j].set(jnp.where(loop_mask, lj_slot, slot[loop_j]))
+        slot = jnp.where(sep_mask, jnp.where(slot >= 0, slot, P), P)
+
+        # local views of the separator structure (device's Sn blocks)
+        sep_local = jax.lax.dynamic_slice_in_dim(sep_mask, base, Kn).reshape(Sn, B)
+        D = jnp.repeat(~sep_local, 6, axis=1).astype(dtype)  # [Sn, 6B]
+        slot_local = jax.lax.dynamic_slice_in_dim(slot, base, Kn).reshape(Sn, B)
+        sdim = (
+            (slot_local * 6)[:, :, None] + jnp.arange(6)[None, None, :]
+        ).reshape(Sn, 6 * B)
+
+        # local separator-edge candidates: the device's block-crossing chain
+        # edges (each lives in exactly ONE device's slice, so scattering them
+        # pre-psum counts each once); loop edges are added replicated later.
+        cre = jnp.arange(Sn) * B  # local indices of cross candidates
+        cross_w = (emask[cre] & cross[cre]).astype(dtype)
+        cross_si = jnp.where(cross_w > 0, slot[ei_g[cre]], P)
+        cross_sj = jnp.where(cross_w > 0, slot[ej_g[cre]], P)
+        cross_di = (cross_si * 6)[:, None] + jnp.arange(6)[None, :]
+        cross_dj = (cross_sj * 6)[:, None] + jnp.arange(6)[None, :]
+
+        # GPS prior locals
+        gps_rows = base + jnp.arange(Kn)  # global rows of this device's nodes
+        gps_blk = jl // B
+        gps_diag_idx = ((jl % B) * 6)[:, None] + jnp.arange(3)[None, :] + 3
+
+        li_slot6 = jnp.where(loop_mask, li_slot, P)
+        lj_slot6 = jnp.where(loop_mask, lj_slot, P)
+        loop_di = (li_slot6 * 6)[:, None] + jnp.arange(6)[None, :]
+        loop_dj = (lj_slot6 * 6)[:, None] + jnp.arange(6)[None, :]
+
+        def w_gps():
+            return gps_info_s * gps_mask_s[:, None].astype(dtype)
+
+        def chi2_full(R, p):
+            """Full accept/reject objective: edges + GPS + anchor (matches
+            the local _graph_chi2 term-for-term)."""
+            c_loc = _edge_chi2(
+                R, p, ei_g, ej_g, rel_R_s, rel_p_s, info_s, emask, zeros_e,
+                huber_delta,
             )
-            H_sep, g_sep = _finish_sep_system(g, lin, H_sep, g_sep, Pdim, dtype)
+            p_loc = jax.lax.dynamic_slice_in_dim(p, base, Kn)
+            gps_r = (p_loc - gps_xyz_s) * gps_mask_s[:, None].astype(dtype)
+            c_loc = c_loc + jnp.sum(gps_info_s * gps_r * gps_r)
+            c = jax.lax.psum(c_loc, axis)
+            c = c + _edge_chi2(
+                R, p, loop_i, loop_j, loop_rel_R, loop_rel_p, loop_info,
+                loop_mask, ~zeros_l, huber_delta,
+            )
+            anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+            return c + anchor_r @ anchor_info @ anchor_r
+
+        def quad(ch, lp, v):
+            """v^T H v over the full damped system (for pred/alpha)."""
+            t_loc = _edge_quad(ch["Ji"], ch["Jj"], ch["W"], v[ei_g], v[ej_g])
+            v_loc = jax.lax.dynamic_slice_in_dim(v, base, Kn)
+            t_loc = t_loc + jnp.sum(w_gps() * v_loc[:, 3:] * v_loc[:, 3:])
+            t = jax.lax.psum(t_loc, axis)
+            t = t + _edge_quad(lp["Ji"], lp["Jj"], lp["W"], v[loop_i], v[loop_j])
+            return t + v[0] @ anchor_info @ v[0] + 1e-6 * jnp.sum(v * v)
+
+        def tr_step(carry, _):
+            R, p, delta = carry
+
+            # ---- linearize: local chain shard + replicated loop edges ----
+            ch = _edge_terms(
+                R, p, ei_g, ej_g, rel_R_s, rel_p_s, info_s, emask, zeros_e,
+                huber_delta,
+            )
+            lp = _edge_terms(
+                R, p, loop_i, loop_j, loop_rel_R, loop_rel_p, loop_info,
+                loop_mask, ~zeros_l, huber_delta,
+            )
+            p_loc = jax.lax.dynamic_slice_in_dim(p, base, Kn)
+            gps_r = (p_loc - gps_xyz_s) * gps_mask_s[:, None].astype(dtype)
+            anchor_r = jnp.concatenate([lie.so3_log(R[0]), p[0]])
+            chi2_cur = (
+                jax.lax.psum(ch["chi2"] + jnp.sum(gps_info_s * gps_r * gps_r), axis)
+                + lp["chi2"]
+                + anchor_r @ anchor_info @ anchor_r
+            )
+
+            # ---- full gradient (replicated after psum) -------------------
+            g_full = (
+                jnp.zeros((K, 6), dtype=dtype)
+                .at[ei_g].add(ch["gi"]).at[ej_g].add(ch["gj"])
+                .at[gps_rows, 3:].add(w_gps() * gps_r)
+            )
+            g_full = jax.lax.psum(g_full, axis)
+            g_full = g_full.at[loop_i].add(lp["gi"]).at[loop_j].add(lp["gj"])
+            g_full = g_full.at[0].add(anchor_info @ anchor_r)
+            gflat = g_full.reshape(-1)
+
+            # ---- per-device block assembly ------------------------------
+            Hb, gb = _assemble_chain_blocks(
+                ch, loc_i, loc_j, edge_blk, Sn, B, dtype
+            )
+            Hb_flatdiag = jnp.zeros((Sn, 6 * B), dtype=dtype)
+            Hb_flatdiag = Hb_flatdiag.at[gps_blk[:, None], gps_diag_idx].add(w_gps())
+            Hb = Hb + jax.vmap(jnp.diag)(Hb_flatdiag)
+            gb = gb.at[gps_blk[:, None], gps_diag_idx].add(w_gps() * gps_r)
+            Hb = Hb + jnp.eye(6 * B, dtype=dtype) * 1e-6
+
+            # ---- Newton step: eliminate local blocks, psum, solve, back --
+            H_sep, g_sep, HII_inv_HIS, HII_inv_gI = _eliminate_local(
+                Hb, gb, D, sdim, Pdim, dtype
+            )
+            # local cross-block chain edges into the reduced system (pre-psum
+            # — each lives in exactly one shard)
+            cw = cross_w[:, None, None]
+            H_sep = H_sep.at[cross_di[:, :, None], cross_di[:, None, :]].add(
+                ch["Hii"][cre] * cw
+            )
+            H_sep = H_sep.at[cross_di[:, :, None], cross_dj[:, None, :]].add(
+                ch["Hij"][cre] * cw
+            )
+            H_sep = H_sep.at[cross_dj[:, :, None], cross_di[:, None, :]].add(
+                jnp.swapaxes(ch["Hij"][cre], 1, 2) * cw
+            )
+            H_sep = H_sep.at[cross_dj[:, :, None], cross_dj[:, None, :]].add(
+                ch["Hjj"][cre] * cw
+            )
+            g_sep = g_sep.at[cross_di].add(ch["gi"][cre] * cross_w[:, None])
+            g_sep = g_sep.at[cross_dj].add(ch["gj"][cre] * cross_w[:, None])
+            H_sep = jax.lax.psum(H_sep, axis)
+            g_sep = jax.lax.psum(g_sep, axis)
+            # replicated finish: loop edges + anchor + inert-slot Tikhonov
+            lw = loop_mask.astype(dtype)[:, None, None]
+            H_sep = H_sep.at[loop_di[:, :, None], loop_di[:, None, :]].add(
+                lp["Hii"] * lw
+            )
+            H_sep = H_sep.at[loop_di[:, :, None], loop_dj[:, None, :]].add(
+                lp["Hij"] * lw
+            )
+            H_sep = H_sep.at[loop_dj[:, :, None], loop_di[:, None, :]].add(
+                jnp.swapaxes(lp["Hij"], 1, 2) * lw
+            )
+            H_sep = H_sep.at[loop_dj[:, :, None], loop_dj[:, None, :]].add(
+                lp["Hjj"] * lw
+            )
+            g_sep = g_sep.at[loop_di].add(lp["gi"] * lw[:, :, 0])
+            g_sep = g_sep.at[loop_dj].add(lp["gj"] * lw[:, :, 0])
+            H_sep = H_sep.at[:6, :6].add(anchor_info)
+            g_sep = g_sep.at[:6].add(anchor_info @ anchor_r)
+            H_sep = H_sep + jnp.eye(Pdim, dtype=dtype) * 1e-6
+
             d_sep = _sep_solve(H_sep, -g_sep[:, None])[:, 0]
             d_sep = d_sep.at[6 * P:].set(0.0)
-            return back_substitute(
-                HII_inv_HIS, HII_inv_gI, d_sep, lin["sdim"], lin["D"]
-            ).reshape(K, 6)
+            d_loc = _back_substitute(HII_inv_HIS, HII_inv_gI, d_sep, sdim, D)
+            d_n = jax.lax.all_gather(d_loc, axis, tiled=True).reshape(-1)
+            d_n = jnp.where(jnp.all(jnp.isfinite(d_n)), d_n, -gflat)
 
-        tr_step = _make_tr_step(g, S, B, P, Pdim, dtype, huber_delta, newton_sharded)
+            # ---- dogleg trust region (replicated control, psum'd scalars) -
+            Hg = quad(ch, lp, g_full)
+            alpha = jnp.dot(gflat, gflat) / jnp.maximum(Hg, 1e-30)
+            d_sd = -alpha * gflat
+
+            def cond(st):
+                _, acc, _, _, _, tries = st
+                return (~acc) & (tries < 8)
+
+            def body(st):
+                delta_i, acc, d_acc, chi2_acc, rho_acc, tries = st
+                d = _dogleg_combine(d_n, d_sd, delta_i)
+                dm = d.reshape(K, 6)
+                pred = -(jnp.dot(gflat, d) + 0.5 * quad(ch, lp, dm))
+                chi2_new = chi2_full(R @ lie.so3_exp(dm[:, :3]), p + dm[:, 3:])
+                rho = (chi2_cur - chi2_new) / jnp.maximum(pred, 1e-30)
+                ok = (chi2_new < chi2_cur) & (pred > 0) & jnp.isfinite(chi2_new)
+                return (
+                    jnp.where(ok, delta_i, delta_i * 0.25),
+                    ok,
+                    jnp.where(ok, d, d_acc),
+                    jnp.where(ok, chi2_new, chi2_acc),
+                    jnp.where(ok, rho, rho_acc),
+                    tries + 1,
+                )
+
+            init = (
+                delta,
+                jnp.asarray(False),
+                jnp.zeros_like(gflat),
+                chi2_cur,
+                jnp.asarray(0.0, dtype),
+                jnp.asarray(0, jnp.int32),
+            )
+            delta_f, acc, d_acc, _, rho, _ = jax.lax.while_loop(cond, body, init)
+            dnorm = jnp.linalg.norm(d_acc)
+            delta_out = jnp.where(
+                acc & (rho > 0.75), jnp.maximum(delta_f, 3.0 * dnorm), delta_f
+            )
+            dm = d_acc.reshape(K, 6)
+            R_next = jnp.where(acc, R @ lie.so3_exp(dm[:, :3]), R)
+            p_next = jnp.where(acc, p + dm[:, 3:], p)
+            return (R_next, p_next, delta_out), None
+
         (R_fin, p_fin, _), _ = jax.lax.scan(
-            tr_step, (g.R, g.p, jnp.asarray(1.0, dtype)), None, length=gn_iters
+            tr_step, (R0, p0, jnp.asarray(1.0, dtype)), None, length=gn_iters
         )
-        return R_fin, p_fin
+        # edge-only chi2 (matching gg.linearize, which the local twin reports)
+        chi2_fin = jax.lax.psum(
+            _edge_chi2(
+                R_fin, p_fin, ei_g, ej_g, rel_R_s, rel_p_s, info_s, emask,
+                zeros_e, huber_delta,
+            ),
+            axis,
+        ) + _edge_chi2(
+            R_fin, p_fin, loop_i, loop_j, loop_rel_R, loop_rel_p, loop_info,
+            loop_mask, ~zeros_l, huber_delta,
+        )
+        return R_fin, p_fin, chi2_fin
 
     return run

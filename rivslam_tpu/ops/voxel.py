@@ -16,6 +16,28 @@ from rivslam_tpu.core.pointcloud import RadarCloud
 
 _COORD_OFFSET = 1 << 20  # voxel coords assumed within +-2^20
 
+# Packed-key bound for O(log V) DIRECT-neighborhood lookups: coords in
+# [-512, 512) pack order-preservingly into one int32 (10 bits/axis). At the
+# 1 m default voxel resolution that is a +-512 m scene — far beyond radar
+# range; out-of-range coords (including the sort sentinel) saturate to
+# INT32_MAX so they can never produce a false hit.
+_PACK_BOUND = 512
+_PACK_MISS = jnp.int32(2**31 - 1)
+
+
+def pack_voxel_coords(coords: jax.Array) -> jax.Array:
+    """Pack int32 voxel coords [..., 3] into one order-preserving int32 key.
+
+    Lexicographic (x, y, z) order of in-range coords equals ascending order
+    of the packed keys, so the voxel table emitted by gaussian_voxel_map
+    (lex-sorted valid rows first) packs to an ascending key array — ready
+    for jnp.searchsorted hash-free DIRECT7 lookups (the TPU replacement for
+    fast_vgicp_voxel.hpp's std::unordered_map voxel hash)."""
+    in_range = jnp.all((coords >= -_PACK_BOUND) & (coords < _PACK_BOUND), axis=-1)
+    off = coords + _PACK_BOUND
+    key = (off[..., 0] << 20) | (off[..., 1] << 10) | off[..., 2]
+    return jnp.where(in_range, key, _PACK_MISS)
+
 
 def voxel_keys(xyz: jax.Array, mask: jax.Array, resolution: float) -> jax.Array:
     """Integer voxel coords [N, 3]; invalid points get a sentinel max coord."""

@@ -374,6 +374,8 @@ class Engine:
             "pairwise_checked": 0,      # checks run WITH a real previous loop
             "accepted": 0,              # loop edges committed to the graph
             "dropped_capacity": 0,      # accepted but loop slots exhausted
+            "sc_dropped_capacity": 0,   # descriptor DB full at insert (should
+                                        # stay 0: compaction runs first)
         }
 
     # ------------------------------------------------------------------
@@ -897,7 +899,11 @@ class Engine:
             odom_rel_p=g.odom_rel_p.at[k].set(rel_p),
             odom_info=g.odom_info.at[k].set(edge_info),
         )
-        st.scdb = self._sc_insert(st.scdb, cl.xyz, cl.intensity, cl.mask)
+        st.scdb, sc_dropped = self._sc_insert(st.scdb, cl.xyz, cl.intensity, cl.mask)
+        if bool(np.asarray(sc_dropped)):
+            # unreachable in engine use (compaction runs first) — surfaced so
+            # a broken compaction policy is loud, not a silent descriptor loss
+            self.loop_stats["sc_dropped_capacity"] += 1
         st.kf_clouds.append((cl.xyz, cl.mask))
         st.kf_stamps.append(stamp)
         odo_st = st.odo.base if hasattr(st.odo, "base") else st.odo

@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -144,14 +145,19 @@ def test_capacity_scale_f32_sharded_equivalence():
     at CAPACITY SCALE in f32 — K=512, 16 submaps, 8 devices, the exact
     SCALING_r2 configuration that used to diverge under pure GN.
 
-    Two-level bound, because a trust-region optimizer's trajectory is
-    chaotic in f32 (a ~1e-7 reduction-order difference between psum and the
-    vmap'd einsum eventually flips an accept/radius decision, after which
-    the two paths walk different gauge-sloppy directions of the same basin):
+    Three-level bound, because a trust-region optimizer's trajectory is
+    chaotic in f32 (a ~1e-7 reduction-order difference between the SPMD
+    partial sums + psum and the local vmap'd einsum eventually flips an
+    accept/radius decision, after which the two paths walk different
+    gauge-sloppy directions of the same basin):
 
-    1. per-ITERATION noise is tight: after 1 iteration (no decision flips
-       yet) the two paths agree to f32 roundoff;
-    2. solution QUALITY matches: both reduce chi2 by >99% and their final
+    1. the MATH is identical: in f64 (where reassociation noise is ~1e-16
+       and the reduced system's conditioning cannot amplify it to anything
+       visible) one iteration of the two paths agrees to ~1e-9;
+    2. per-ITERATION f32 noise is bounded: after 1 iteration the paths
+       agree to the reassociation noise floor amplified by the separator
+       system's conditioning (measured ~1e-2 in p at K=512);
+    3. solution QUALITY matches: both reduce chi2 by >99% and their final
        chi2s agree to 5e-3 of the initial objective.
     """
     from rivslam_tpu.dist import mesh as mesh_mod
@@ -164,13 +170,27 @@ def test_capacity_scale_f32_sharded_equivalence():
     chi2_init = float(chi2_init)
     m = mesh_mod.make_mesh(1, 8)
 
-    # 1) one-iteration equivalence (bounds the raw reduction-order noise)
+    # 1) f64: one iteration of the two paths is the SAME math
+    with jax.enable_x64(True):
+        g64 = _drifted_loop_graph(K, 8, K - K // 8, jnp.float64)
+        g_l64, chi2_l64 = block_schur.solve_pose_graph_schur(
+            g64, num_blocks=16, gn_iters=1
+        )
+        g_s64, chi2_s64 = block_schur.solve_pose_graph_schur_sharded(
+            g64, m, num_blocks=16, gn_iters=1
+        )
+        np.testing.assert_allclose(float(chi2_s64), float(chi2_l64), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(g_s64.p), np.asarray(g_l64.p), atol=1e-8
+        )
+
+    # 2) f32 one-iteration noise bound (reassociation x conditioning)
     g_l1, chi2_l1 = block_schur.solve_pose_graph_schur(g, num_blocks=16, gn_iters=1)
     g_s1, chi2_s1 = block_schur.solve_pose_graph_schur_sharded(
         g, m, num_blocks=16, gn_iters=1
     )
-    np.testing.assert_allclose(float(chi2_s1), float(chi2_l1), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(g_s1.p), np.asarray(g_l1.p), atol=1e-3)
+    np.testing.assert_allclose(float(chi2_s1), float(chi2_l1), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_s1.p), np.asarray(g_l1.p), atol=0.05)
 
     # 2) converged-quality equivalence
     g_l, chi2_l = block_schur.solve_pose_graph_schur(g, num_blocks=16, gn_iters=12)

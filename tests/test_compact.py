@@ -97,7 +97,7 @@ def test_scancontext_compact(rng):
     for i in range(8):
         d = jnp.asarray(rng.random((cfg.num_ring, cfg.num_sector)))
         descs.append(d)
-        db = scancontext.insert(db, d)
+        db, _ = scancontext.insert(db, d)
     keep = [0, 3, 5, 7]
     db2 = scancontext.compact(db, keep)
     assert int(db2.count) == 4

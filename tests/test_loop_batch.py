@@ -21,7 +21,7 @@ def _make_db(rng, cfg, n=24, dtype=jnp.float64):
         T[:3, 3] = [2.0 * i, 0.0, 2.0]
         cl = synthetic.observe(world, T, rng, capacity=512, noise=0.01, dtype=dtype)
         clouds.append(cl)
-        db = scancontext.insert(
+        db, _ = scancontext.insert(
             db, scancontext.make_descriptor(cl.xyz, cl.intensity, cl.mask, cfg)
         )
     return db, clouds, world

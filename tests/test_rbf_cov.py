@@ -20,11 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rivslam_tpu.core import lie
 from rivslam_tpu.core.config import RegistrationConfig
 from rivslam_tpu.frontend import apdgicp, apdgicp_fast
 
-from tests.test_apdgicp import XI, check_alignment, make_scene
+from tests.test_apdgicp import check_alignment, make_scene
 
 RBF_CFG = RegistrationConfig(
     covariance_method="RBF", transformation_epsilon=5e-4
