@@ -245,8 +245,11 @@ def main():
 
             @jax.jit
             def chained_v(sx, sm, tx, tm, g, _vcfg=vcfg):
+                # a scan of CAPACITY points occupies at most CAPACITY voxels,
+                # so a CAPACITY-slot table is lossless and halves the [N, V]
+                # match matrix vs the submap-sized 2048 default
                 vms = jax.vmap(
-                    lambda a, b: vgicp.build_voxel_map(a, b, _vcfg, capacity=2048)
+                    lambda a, b: vgicp.build_voxel_map(a, b, _vcfg, capacity=CAPACITY)
                 )(tx, tm)
 
                 def body(carry, _):

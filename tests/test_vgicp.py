@@ -87,19 +87,21 @@ def test_direct7_lookup_matches_bruteforce(scene):
     s = apdgicp.estimate_covariances(src.xyz, src.mask, CFG)
     vm = vgicp.build_voxel_map(tgt.xyz, tgt.mask, CFG, capacity=2048)
     T = jnp.eye(4, dtype=jnp.float64)
-    idx, corr, _ = vgicp._voxel_correspondences_direct(T, s, vm, CFG, 7)
+    mean_B, corr, _ = vgicp._voxel_correspondences_direct(T, s, vm, CFG, 7)
     coords = np.asarray(vm.coords)
     valid = np.asarray(vm.valid)
     c = np.floor(np.asarray(src.xyz) / CFG.voxel_resolution).astype(np.int64)
     offs = np.asarray(vgicp._DIRECT7_OFFSETS)
     want = c[:, None, :] + offs[None]  # [N,7,3]
     # brute force: does each wanted coord exist among valid voxels?
-    table = {tuple(q) for q in coords[valid]}
+    table = {tuple(q): i for i, q in enumerate(coords) if valid[i]}
     hit_bf = np.array(
         [[tuple(w) in table for w in row] for row in want]
     ) & np.asarray(src.mask)[:, None]
     np.testing.assert_array_equal(np.asarray(corr), hit_bf)
-    # and the matched index points at the right voxel
-    ii = np.asarray(idx)[np.asarray(corr)]
-    ww = want[np.asarray(corr)]
-    np.testing.assert_array_equal(coords[ii], ww)
+    # and the one-hot matmul gathered exactly the matched voxel's mean
+    means = np.asarray(vm.mean)
+    ii = np.array([table[tuple(w)] for w in want[np.asarray(corr)]])
+    np.testing.assert_allclose(
+        np.asarray(mean_B)[np.asarray(corr)], means[ii], rtol=1e-12
+    )
