@@ -26,11 +26,12 @@ import json
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from rivslam_tpu import pipeline, presets
-from rivslam_tpu.eval import ate as ate_mod
-from rivslam_tpu.io import datasets, synthetic
+# jax / engine imports happen INSIDE the functions (scaling.py pattern):
+# importing the engine at module scope initializes the jax backend, which in
+# this container is pre-pinned to the axon TPU relay — so `--cpu`'s
+# config.update in main() came too late and every validation frame paid a
+# ~100 ms relay round trip (measured: 9m40s for a course that runs in 43 s
+# on the host CPU).
 
 # Course parameters approximate each dataset's regime: handheld carpark/
 # garden-cart NTU4DRadLM sequences (Eagle radar, open outdoor scenes) vs the
@@ -78,6 +79,8 @@ def build_course_cfg(
     reg_overrides: dict | None = None,
 ):
     """Engine config for a validation course (shared with eval/latency.py)."""
+    from rivslam_tpu import presets
+
     cfg = presets.get(PRESET_FOR_COURSE[course])
     # synthetic scans are instantaneous; the simulator's world has no
     # under-floor returns to cull
@@ -111,11 +114,18 @@ def run_course(
     method: str = "FAST_APDGICP",
     loop_on: bool = True,
     seed: int = 21,
-    dtype=jnp.float32,
+    dtype=None,
     sim_overrides: dict | None = None,
     reg_overrides: dict | None = None,
 ) -> dict:
     """Simulate the course, replay it through the engine, score it."""
+    import jax.numpy as jnp
+
+    from rivslam_tpu import pipeline
+    from rivslam_tpu.eval import ate as ate_mod
+    from rivslam_tpu.io import datasets, synthetic
+
+    dtype = dtype or jnp.float32
     params = dict(COURSES[course])
     params.update(sim_overrides or {})
     seq, _ = synthetic.simulate_sequence(seed=seed, **params)
@@ -187,17 +197,22 @@ def main(argv=None) -> None:
         "latency per engine variant; the study is compile-dominated)",
     )
     args = ap.parse_args(argv)
+    if args.cpu or args.f64:
+        # flip the live config BEFORE any jax-touching import below
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         # f64 math only exists on the host backend (TPUs have no f64 and
         # x64-disabled JAX silently downcasts); force both together so the
         # flag can never produce mislabeled f32 numbers
         args.cpu = True
-    if args.cpu:
+    if args.f64:
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        if args.f64:
-            jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     seeds = [int(s) for s in str(args.seed).split(",")]
