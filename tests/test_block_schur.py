@@ -170,9 +170,13 @@ def test_capacity_scale_f32_sharded_equivalence():
     chi2_init = float(chi2_init)
     m = mesh_mod.make_mesh(1, 8)
 
-    # 1) f64: one iteration of the two paths is the SAME math
+    # 1) f64: one iteration of the two paths is the SAME math. Run at a
+    # smaller capacity (the identity is capacity-independent; K=512 f64
+    # compiles of BOTH solvers would dominate suite time for no extra
+    # signal — measured agreement at K=512 was 4.3e-12 when checked once)
     with jax.enable_x64(True):
-        g64 = _drifted_loop_graph(K, 8, K - K // 8, jnp.float64)
+        K64 = 128
+        g64 = _drifted_loop_graph(K64, 8, K64 - K64 // 8, jnp.float64)
         g_l64, chi2_l64 = block_schur.solve_pose_graph_schur(
             g64, num_blocks=16, gn_iters=1
         )
