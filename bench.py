@@ -233,9 +233,12 @@ def main():
     # in the LM loop (the HBM term that pins the headline roofline). Target
     # voxel map built once per dispatch (the pipeline caches it per keyframe
     # exactly like the target PreparedCloud); per-frame work = source
-    # covariance prepare + voxel-LM registration.
+    # covariance prepare + voxel-LM registration. OPT-IN
+    # (RIVSLAM_BENCH_VGICP=1): the lever is closed — measured numbers live
+    # in BENCHMARKS.md + bench_assets/BENCH_vgicp_r5.json — and the two
+    # extra compiled variants would double the default bench wall time.
     if ("RIVSLAM_BENCH_COV" not in os.environ
-            and not int(os.environ.get("RIVSLAM_BENCH_SKIP_VGICP", "0"))):
+            and int(os.environ.get("RIVSLAM_BENCH_VGICP", "0"))):
         import dataclasses
 
         from rivslam_tpu.frontend import vgicp
