@@ -27,13 +27,11 @@ import json
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from rivslam_tpu.core import lie
+# jax / engine imports are deferred into the functions so `--cpu` can flip
+# the platform before anything initializes the pre-pinned axon TPU backend
+# (same defect + fix as eval/validation.py, round 5; the config import is
+# backend-safe)
 from rivslam_tpu.core.config import RegistrationConfig
-from rivslam_tpu.frontend import apdgicp
-from rivslam_tpu.io import synthetic
 
 
 def pose_error(T_est: np.ndarray, T_true: np.ndarray) -> tuple[float, float]:
@@ -57,6 +55,13 @@ def run_trials(
 ) -> dict:
     """Register n_trials independent scan pairs under the given noise model;
     return per-method translation/rotation error statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from rivslam_tpu.core import lie
+    from rivslam_tpu.frontend import apdgicp
+    from rivslam_tpu.io import synthetic
+
     # build all trial pairs on the host, then register each method's whole
     # batch in ONE jitted vmapped dispatch (per-trial eager dispatch over the
     # axon tunnel is ~100x slower)
@@ -127,6 +132,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = ap.parse_args()
     if args.cpu:
+        import jax
+
         jax.config.update("jax_platforms", "cpu")
 
     # launch-file runtime params (radar_graph_slam.launch:34-36)
