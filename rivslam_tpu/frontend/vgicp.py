@@ -82,7 +82,12 @@ def _voxel_correspondences_nearest(
 ):
     """Nearest voxels by center distance via an [N, V] MXU distance matrix —
     the KDTREE-search analogue (reg_nn_search_method "KDTREE",
-    registrations.cpp:126)."""
+    registrations.cpp:126).
+
+    Compatibility mode: its `vm.mean[idx]` / `vm.cov[idx]` top-k gathers are
+    the vmapped dynamic-gather pattern measured at ~13 ms/frame on v5e
+    (register_KDTREE 813 ms/64 frames, round-5 profile) — prefer the
+    DIRECT7/DIRECT1 packed-key matmul form for anything hot."""
     pt = lie.transform_points(T, src.xyz)  # [N,3]
     centers = (vm.coords.astype(pt.dtype) + 0.5) * cfg.voxel_resolution
     centers = jnp.where(vm.valid[:, None], centers, 1e6)
