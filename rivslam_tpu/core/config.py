@@ -167,13 +167,17 @@ class RegistrationConfig:
     #     exponent factor (covariance_estimation_rbf.cu:80 reads
     #     constants[0] — the "width" is really an inverse length^2).
     #     Round-4 A/B on v5e: +51% headline throughput (6798 vs 4502 fps)
-    #     at better per-pair error (0.030 vs 0.039 m), and course-level
-    #     full-ATE improves on 6 of 8 validation arms (nyl loop 2.08->0.70,
-    #     garden loop 2.17->0.92 m) but regresses on small dense courses
-    #     (cp loop 0.50->0.76 m) — see BENCHMARKS.md + VALIDATION_r4_rbf
-    #     .json. Default stays KNN (the reference pipeline's own default).
+    #     at better per-pair error (0.030 vs 0.039 m). Round-5 settled the
+    #     course-level question with a real sweep (kw in {0.25..16} x 4
+    #     courses x 3 seeds x loop on/off, VALIDATION_r5_*.json): at
+    #     kernel width >= 4 RBF beats KNN on full-trajectory ATE in ALL 8
+    #     arms (nyl loop 1.68 -> 0.38 m, garden 1.72 -> 0.58 m) with more
+    #     loop closures. The DATASET PRESETS therefore ship RBF at kw=4.0
+    #     (presets._rbf_covariances); this bare-config default stays KNN +
+    #     the reference's kw so RegistrationConfig() remains launch-parity
+    #     for faithful A/Bs.
     covariance_method: str = "KNN"
-    rbf_kernel_width: float = 0.25  # fast_vgicp_cuda.cu:25
+    rbf_kernel_width: float = 0.25  # fast_vgicp_cuda.cu:25 (presets use 4.0)
     rbf_max_dist: float = 3.0  # fast_vgicp_cuda.cu:26 (setKernelWidth(-1) => 5*width)
     # voxelized (VGICP) option
     voxel_resolution: float = 1.0

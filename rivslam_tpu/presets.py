@@ -29,6 +29,31 @@ def _base() -> EngineConfig:
     return EngineConfig()
 
 
+def _rbf_covariances(cfg: EngineConfig) -> EngineConfig:
+    """Dataset presets ship the RBF covariance mode at kernel width 4.0.
+
+    Round-5 sweep (VALIDATION_r5_*.json: kw in {0.25,0.5,1,2,4,8,16} x 4
+    courses x 3 seeds x loop on/off vs the KNN arm): RBF at kw>=4 beats the
+    KNN default on full-trajectory ATE in ALL 8 (course, loop) cells — e.g.
+    loop-on nyl 1.68 -> 0.38 m, garden 1.72 -> 0.58 m, cp 0.59 -> 0.31 m —
+    with more loop closures and +55% registration throughput (7470 vs 4824
+    fps, BENCH r5; the prepare stage drops its approx_min_k top-k pass).
+    kw 4 and 8 tie at the optimum plateau (effective Gaussian neighborhood
+    sigma = 1/sqrt(2 kw) ~ 0.25-0.35 m); 4.0 is the interior point and the
+    best loop-off aggregate. The round-4 "mine regression" at kw=1 that
+    blocked this flip was 2-seed noise (3-seed mean 0.50 vs KNN 0.48).
+
+    The BARE RegistrationConfig keeps the reference-launch defaults (KNN,
+    kw 0.25 — fast_vgicp_cuda.cu:25) for faithful A/Bs; presets are where
+    this framework's own serving choices live."""
+    return dataclasses.replace(
+        cfg,
+        registration=dataclasses.replace(
+            cfg.registration, covariance_method="RBF", rbf_kernel_width=4.0
+        ),
+    )
+
+
 def ntu4dradlm(sequence: str = "cp") -> EngineConfig:
     """NTU4DRadLM (Oculii Eagle radar, 'eagle' dataset path).
 
@@ -36,7 +61,7 @@ def ntu4dradlm(sequence: str = "cp") -> EngineConfig:
     slow-moving (~1-2 m/s) while garden is a cart. Radar frames carry
     ~1000-1500 targets -> raw capacity 2048 is ample.
     """
-    cfg = _base()
+    cfg = _rbf_covariances(_base())
     cfg = dataclasses.replace(
         cfg,
         preprocess=dataclasses.replace(
@@ -90,7 +115,7 @@ def mine_and_forest() -> EngineConfig:
     and dynamic-object removal on, and use the frontend ego-velocity prior
     (the paper's mine runs enable it).
     """
-    cfg = _base()
+    cfg = _rbf_covariances(_base())
     return dataclasses.replace(
         cfg,
         preprocess=dataclasses.replace(
