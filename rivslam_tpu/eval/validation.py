@@ -139,7 +139,11 @@ def run_course(
     gt = np.stack([gt0 @ P for P in seq.gt_poses])
 
     res: dict = {"course": course, "method": method, "loop": loop_on,
-                 "frames": int(seq.num_frames)}
+                 "frames": int(seq.num_frames),
+                 # RESOLVED registration knobs (the preset may override the
+                 # CLI default — r5: presets ship RBF kw=4.0)
+                 "covariance_method": cfg.registration.covariance_method,
+                 "rbf_kernel_width": cfg.registration.rbf_kernel_width}
     n_loops = (
         int(np.asarray(eng.state.graph.loop_mask).sum())
         if eng.state.graph is not None else 0
@@ -230,7 +234,6 @@ def main(argv=None) -> None:
                         reg_ov["rbf_kernel_width"] = args.rbf_kw
                     r = run_course(course, method, lp == "on", seed=sd,
                                    dtype=dtype, reg_overrides=reg_ov)
-                    r["covariance_method"] = args.cov
                     per_seed.append(r)
                     print(json.dumps(r), flush=True)
                 agg = dict(per_seed[0])
