@@ -308,6 +308,12 @@ def _eliminate_local(Hb_d, gb, D, sdim, Pdim, dtype):
     # one-hot projection instead of colliding scatter-add: every interior
     # dim of every block would collide at the dump slot and serialize XLA's
     # scatter (~700 ms of the round-1 837 ms solve); Q^T S Q rides the MXU.
+    # Round-5 re-audit: a COLLISION-FREE scatter (unique per-(block,dim)
+    # dump columns past Pdim, exploiting that S_blk is nonzero only on
+    # separator x separator dims) was built and measured — no better on
+    # XLA:CPU (80 vs 87 ms of a 184 ms x6 elimination) and 5x WORSE on the
+    # v5e (1500-kf solve 531 vs 104 ms): TPU scatters stay serial even
+    # with unique_indices. The MXU projection stands.
     Q = (sdim[:, :, None] == jnp.arange(Pdim)[None, None, :]).astype(dtype)
     H_sep = jnp.einsum("sla,slm,smb->ab", Q, S_blk, Q)
     g_sep = jnp.einsum("sla,sl->a", Q, g_blk)
